@@ -1,0 +1,338 @@
+"""Command-line interface.
+
+`merfin-tpu` accepts the reference merfin's flag set (merfin.C:80-155)
+so existing pipelines can switch by swapping the binary name:
+
+    merfin-tpu -hist -sequence asm.fasta -readmers read.mkdb \
+               -peak 106.7 -output out.hist
+
+Databases are MKDB directories (see merfin_tpu/io/mkdb.py); `meryl print`
+text dumps can be imported with `merfin-tpu import`.  The meryl-analog
+database tools (count / print / statistics / histogram / intersect /
+union-sum / subtract / divide-round) live under the same binary, like
+
+    merfin-tpu count k=21 reads.fastq.gz output read.mkdb
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from merfin_tpu.config import MerfinConfig, ensure_x64
+
+_U64MAX = 2**64 - 1
+
+_DB_SUBCOMMANDS = {
+    "count", "print", "statistics", "histogram", "intersect", "union-sum",
+    "subtract", "divide-round", "import", "export",
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in _DB_SUBCOMMANDS:
+        return db_tool_main(argv)
+    return merfin_main(argv)
+
+
+# ---------------- merfin-compatible path ----------------
+
+def merfin_main(argv: list[str]) -> int:
+    cfg = MerfinConfig()
+    errs: list[str] = []
+
+    i = 0
+    def nextarg() -> str:
+        nonlocal i
+        i += 1
+        if i >= len(argv):
+            raise IndexError
+        return argv[i]
+
+    mode_flags = {
+        "-filter": "filter", "-better": "better", "-strict": "strict",
+        "-loose": "loose", "-polish": "polish", "-hist": "hist",
+        "-dump": "dump", "-completeness": "completeness",
+    }
+
+    try:
+        while i < len(argv):
+            a = argv[i]
+            if a == "-sequence":
+                cfg.seq_name = nextarg()
+            elif a == "-seqmers":
+                cfg.seq_db_name = nextarg()
+            elif a == "-readmers":
+                cfg.read_db_name = nextarg()
+            elif a == "-peak":
+                cfg.peak = float(nextarg())
+            elif a == "-prob":
+                cfg.prob_table = nextarg()
+            elif a == "-vcf":
+                cfg.vcf_name = nextarg()
+            elif a == "-output":
+                cfg.out_name = nextarg()
+            elif a == "-min":
+                cfg.min_v = int(nextarg())
+            elif a == "-max":
+                cfg.max_v = int(nextarg())
+            elif a == "-threads":
+                cfg.threads = int(nextarg())
+            elif a == "-memory":
+                cfg.max_memory_gb = float(nextarg())
+            elif a == "-nosplit":
+                cfg.nosplit = True
+            elif a == "-skipMissing":
+                cfg.skip_missing = True
+            elif a == "-comb":
+                cfg.comb = int(nextarg())
+            elif a == "-debug":
+                cfg.debug = True
+            elif a in mode_flags:
+                if a == "-loose":
+                    print("*EXPERIMENTAL* Running in -loose mode", file=sys.stderr)
+                cfg.report_type = mode_flags[a]
+            else:
+                errs.append(f"Unknown option '{a}'.\n")
+            i += 1
+    except IndexError:
+        errs.append(f"Option '{argv[-1]}' needs an argument.\n")
+
+    # input validation (merfin.C:157-182)
+    vcf_modes = ("filter", "polish", "better", "strict", "loose")
+    if cfg.report_type != "completeness":
+        if cfg.seq_name is None:
+            errs.append("No input sequences (-sequence) supplied.\n")
+        if cfg.out_name is None:
+            errs.append("No output (-output) supplied.\n")
+    if cfg.report_type in vcf_modes and cfg.vcf_name is None:
+        errs.append("No variant call input (-vcf) supplied; mandatory for -filter or -polish.\n")
+    if cfg.report_type != "filter" and cfg.peak == 0:
+        errs.append("No haploid peak (-peak) supplied.\n")
+    if cfg.report_type == "completeness" and cfg.seq_name is None and cfg.seq_db_name is None:
+        errs.append("No sequence meryl database (-seqmers) nor sequence (-sequence) supplied.\n")
+    if cfg.report_type is None:
+        errs.append("No report type (-filter, -polish, -hist, -dump, -completeness) supplied.\n")
+    if cfg.read_db_name is None:
+        errs.append("No read meryl database (-readmers) supplied.\n")
+
+    if errs:
+        _usage()
+        for e in errs:
+            sys.stderr.write(e)
+        return 1
+
+    return run(cfg)
+
+
+def _usage() -> None:
+    sys.stderr.write(
+        "usage: merfin-tpu <report-type>        \\\n"
+        "         -sequence <seq.fasta>     \\\n"
+        "         -readmers <read.mkdb>     \\\n"
+        "         -peak     <haploid_peak>  \\\n"
+        "         -prob     <lookup_table>  \\\n"
+        "         -vcf      <input.vcf>     \\\n"
+        "         -output   <output>        \n\n"
+        "  TPU-native reimplementation of merfin; same report types:\n"
+        "  -filter | -polish | -better | -strict | -loose | -hist | -dump | -completeness\n"
+        "  Databases are MKDB directories (build with: merfin-tpu count k=21 in.fq output db).\n\n"
+    )
+
+
+def run(cfg: MerfinConfig) -> int:
+    """Load DBs and dispatch the report — main() (merfin.C:358-430)."""
+    ensure_x64()
+
+    from merfin_tpu.io.mkdb import KmerDB, is_mkdb
+    from merfin_tpu.io.prob import load_prob_table
+    from merfin_tpu.io.fasta import SeqFile
+    from merfin_tpu.table.lookup import build_lookup
+
+    log = sys.stderr
+
+    prob = load_prob_table(cfg.prob_table) if cfg.prob_table else None
+
+    # Build the sequence DB if not provided (merfin-globals.C:166-189).
+    if cfg.report_type != "completeness" or cfg.seq_db_name is None:
+        if cfg.seq_db_name is None:
+            if cfg.read_db_name is None or not is_mkdb(cfg.read_db_name):
+                print(f"ERROR: read database '{cfg.read_db_name}' is not an MKDB "
+                      f"directory (build or import it first).", file=log)
+                return 1
+            k = KmerDB(cfg.read_db_name).k
+            base = os.path.basename(cfg.seq_name)
+            cfg.seq_db_name = f"{base}.meryl"
+            print(f"-- No -seqmer given. Build sequence db as '{cfg.seq_db_name}'.",
+                  file=log)
+            from merfin_tpu.count.counter import count_files
+
+            count_files([cfg.seq_name], k, cfg.seq_db_name, log=log)
+
+    read_db = KmerDB(cfg.read_db_name)
+    asm_db = KmerDB(cfg.seq_db_name)
+    if read_db.k != asm_db.k:
+        print(f"ERROR: k mismatch: read db k={read_db.k}, seq db k={asm_db.k}",
+              file=log)
+        return 1
+    k = read_db.k
+
+    # memory estimate + fail-fast (merfin-globals.C:134-153)
+    req = read_db.estimate_memory_gb() + asm_db.estimate_memory_gb()
+    print(f"-- Estimating required space for loading '{cfg.read_db_name}'", file=log)
+    print(f"-- Estimating required space for loading '{cfg.seq_db_name}'", file=log)
+    print("--", file=log)
+    print(f"-- Memory needed: {req:.3f} GB", file=log)
+    print(f"-- Memory limit:  {cfg.max_memory_gb:.3f} GB", file=log)
+    print("--", file=log)
+    if req > cfg.max_memory_gb:
+        print("\nNot enough memory to load databases.  Increase -memory.\n", file=log)
+        return 1
+
+    if cfg.report_type == "completeness":
+        from merfin_tpu.modes.completeness import run_completeness
+
+        print("-- Compute completeness.", file=log)
+        run_completeness(read_db, asm_db, cfg.peak, prob_table=prob, log=log)
+        print("Bye!", file=log)
+        return 0
+
+    print(f"-- Loading kmers from '{cfg.read_db_name}' into lookup table.", file=log)
+    read_lookup = build_lookup(read_db, min_v=cfg.min_v, max_v=cfg.max_v)
+    print(f"-- Loading kmers from '{cfg.seq_db_name}' into lookup table.", file=log)
+    asm_lookup = build_lookup(asm_db)
+
+    seq_file = SeqFile(cfg.seq_name)
+
+    if cfg.report_type == "hist":
+        from merfin_tpu.modes.engine import KstarEngine
+        from merfin_tpu.modes.hist import run_hist
+
+        print(f"-- Generate histogram of the k* metric to '{cfg.out_name}'.", file=log)
+        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob)
+        run_hist(engine, seq_file, cfg.out_name, log=log)
+
+    elif cfg.report_type == "dump":
+        from merfin_tpu.modes.engine import KstarEngine
+        from merfin_tpu.modes.dump import run_dump
+
+        print(f"-- Dump per-base k* metric to '{cfg.out_name}'.", file=log)
+        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob)
+        run_dump(engine, seq_file, cfg.out_name, skip_missing=cfg.skip_missing, log=log)
+
+    else:
+        from merfin_tpu.io.vcf import VcfFile
+        from merfin_tpu.modes.variants import run_variants
+
+        print(f"-- Opening vcf file '{cfg.vcf_name}'.", file=log)
+        vcf = VcfFile(cfg.vcf_name, log=log)
+        print(f"Merge variants within {k}-mer bases, splitting combinations "
+              f"greater than {cfg.comb}.", file=log)
+        vcf.merge_clusters(k, cfg.comb, cfg.nosplit, log=log)
+
+        print("-- Generate variant mers and score them.", file=log)
+        run_variants(
+            cfg.report_type, seq_file, vcf, k,
+            read_lookup.lookup_np, asm_lookup.lookup_np,
+            cfg.peak, prob, cfg.out_name, comb=cfg.comb, debug=cfg.debug, log=log,
+        )
+
+    print("Bye!", file=log)
+    return 0
+
+
+# ---------------- database tools (meryl analog) ----------------
+
+def db_tool_main(argv: list[str]) -> int:
+    ensure_x64()
+    from merfin_tpu.io.mkdb import KmerDB
+    from merfin_tpu.io import meryl_text
+    from merfin_tpu.count import algebra
+
+    cmd = argv[0]
+    args = argv[1:]
+
+    def split_kv(args):
+        opts, pos = {}, []
+        for a in args:
+            if "=" in a and not os.path.exists(a):
+                k, v = a.split("=", 1)
+                opts[k] = v
+            else:
+                pos.append(a)
+        return opts, pos
+
+    opts, pos = split_kv(args)
+    out = None
+    if "output" in opts:
+        out = opts["output"]
+    elif "output" in pos:
+        j = pos.index("output")
+        out = pos[j + 1]
+        pos = pos[:j] + pos[j + 2:]
+
+    if cmd == "count":
+        from merfin_tpu.count.counter import count_files
+
+        k = int(opts.get("k", 21))
+        assert out, "count: need output <db>"
+        count_files(pos, k, out)
+        return 0
+
+    if cmd == "import":
+        assert out and len(pos) == 1, "import: <text> output <db>"
+        meryl_text.import_text(pos[0], out)
+        return 0
+
+    if cmd in ("print", "export"):
+        db = KmerDB(pos[0])
+        if out:
+            meryl_text.export_text(db, out)
+        else:
+            for i in range(db.distinct):
+                sys.stdout.write(
+                    f"{meryl_text.decode_kmer(int(db.keys[i]), db.k)}\t{int(db.vals[i])}\n")
+        return 0
+
+    if cmd == "statistics":
+        st = algebra.statistics(KmerDB(pos[0]))
+        sys.stdout.write(
+            f"Number of {st['k']}-mers that are:\n"
+            f"    unique   {st['unique']:>12}\n"
+            f"    distinct {st['distinct']:>12}\n"
+            f"    present  {st['present']:>12}\n")
+        return 0
+
+    if cmd == "histogram":
+        for v, c in sorted(algebra.histogram(KmerDB(pos[0])).items()):
+            sys.stdout.write(f"{v}\t{c}\n")
+        return 0
+
+    if cmd == "intersect":
+        assert out and len(pos) >= 2
+        algebra.intersect(out, *[KmerDB(p) for p in pos])
+        return 0
+
+    if cmd == "union-sum":
+        assert out and len(pos) >= 1
+        algebra.union_sum(out, *[KmerDB(p) for p in pos])
+        return 0
+
+    if cmd == "subtract":
+        assert out and len(pos) >= 2
+        algebra.subtract(out, *[KmerDB(p) for p in pos])
+        return 0
+
+    if cmd == "divide-round":
+        assert out and len(pos) == 2
+        d = float(pos[0])
+        algebra.divide_round(out, KmerDB(pos[1]), d)
+        return 0
+
+    sys.stderr.write(f"unknown db tool '{cmd}'\n")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

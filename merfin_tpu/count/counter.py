@@ -1,0 +1,164 @@
+"""TPU-native k-mer counting — the `meryl count` replacement.
+
+merfin shells out `meryl count k=K <fasta> output <db>` to build the
+assembly database when -seqmers is missing (merfin-globals.C:166-189).
+Here counting is a batched array program: chunked 2-bit k-merization
+(device), canonicalization, sort, and run-length reduction, with
+hierarchical sorted merges on the host as chunks stream through.
+
+The result is an MKDB (canonical, sorted, 64-way prefix-partitioned).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterable
+
+import numpy as np
+
+from merfin_tpu.io.fasta import SeqFile, Sequence
+from merfin_tpu.io.mkdb import KmerDB
+from merfin_tpu.kcore.pack import kmers_from_codes_np
+
+
+def _merge_sorted(a_keys, a_vals, b_keys, b_vals):
+    """Merge two sorted unique (key, val) arrays, summing duplicates."""
+    keys = np.concatenate([a_keys, b_keys])
+    vals = np.concatenate([a_vals, b_vals])
+    order = np.argsort(keys, kind="stable")
+    keys, vals = keys[order], vals[order]
+    if keys.size == 0:
+        return keys, vals
+    boundary = np.empty(keys.size, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(boundary)
+    sums = np.add.reduceat(vals, starts)
+    return keys[starts], sums
+
+
+class _Accumulator:
+    """Hierarchical merger keeping memory bounded."""
+
+    def __init__(self):
+        self.levels: list[tuple[np.ndarray, np.ndarray]] = []
+        self.total = 0
+
+    def add(self, keys: np.ndarray, vals: np.ndarray) -> None:
+        self.total += int(vals.sum())
+        cur = (keys, vals.astype(np.uint64))
+        # binary-counter merging: level i holds ~2^i chunks worth
+        i = 0
+        while i < len(self.levels) and self.levels[i] is not None:
+            cur = _merge_sorted(*self.levels[i], *cur)
+            self.levels[i] = None
+            i += 1
+        if i == len(self.levels):
+            self.levels.append(None)
+        self.levels[i] = cur
+
+    def result(self) -> tuple[np.ndarray, np.ndarray, int]:
+        keys = np.zeros(0, np.uint64)
+        vals = np.zeros(0, np.uint64)
+        for lv in self.levels:
+            if lv is not None:
+                keys, vals = _merge_sorted(keys, vals, *lv)
+        return keys, vals, self.total
+
+
+def _chunk_canonical_counts_np(codes: np.ndarray, k: int):
+    fmer, rmer, valid = kmers_from_codes_np(codes, k)
+    canon = np.minimum(fmer, rmer)[valid]
+    if canon.size == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    keys, counts = np.unique(canon, return_counts=True)
+    return keys.astype(np.uint64), counts.astype(np.uint64)
+
+
+def _chunk_canonical_counts_device(codes: np.ndarray, k: int, step):
+    """Device path: pack + canonicalize + sort on device, reduce on host."""
+    canon_sorted, valid_count = step(codes)
+    canon = np.asarray(canon_sorted)[: int(valid_count)]
+    if canon.size == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    boundary = np.empty(canon.size, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = canon[1:] != canon[:-1]
+    starts = np.flatnonzero(boundary)
+    counts = np.diff(np.append(starts, canon.size)).astype(np.uint64)
+    return canon[starts], counts
+
+
+def _make_device_step(k: int, chunk_len: int):
+    from merfin_tpu.config import ensure_x64
+
+    ensure_x64()
+    import jax
+    import jax.numpy as jnp
+
+    from merfin_tpu.ops.kmer_ops import kmer_windows
+
+    @jax.jit
+    def step(codes):
+        fmer, rmer, valid = kmer_windows(codes, k)
+        canon = jnp.minimum(fmer, rmer)
+        # push invalid windows to the end as u64::MAX, sort, count valid
+        canon = jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        return jnp.sort(canon), jnp.sum(valid)
+
+    return step
+
+
+def count_sequences(
+    seqs: Iterable[Sequence],
+    k: int,
+    chunk: int = 1 << 22,
+    use_device: bool = True,
+    log=sys.stderr,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Count canonical k-mers; returns (sorted keys, values, total)."""
+    acc = _Accumulator()
+    step = None
+    if use_device:
+        try:
+            step = _make_device_step(k, chunk)
+        except Exception as e:  # pragma: no cover - device unavailable
+            print(f"count: device path unavailable ({e}); using numpy", file=log)
+
+    pad = np.full(k - 1, 4, dtype=np.uint8)
+    for seq in seqs:
+        codes = seq.codes()
+        if codes.shape[0] < k:
+            continue
+        for lo in range(0, codes.shape[0] - k + 1, chunk):
+            piece = codes[lo : lo + chunk + k - 1]
+            if step is not None:
+                if piece.shape[0] < chunk + k - 1:
+                    piece = np.concatenate(
+                        [piece, np.full(chunk + k - 1 - piece.shape[0], 4, np.uint8)]
+                    )
+                keys, vals = _chunk_canonical_counts_device(piece, k, step)
+            else:
+                keys, vals = _chunk_canonical_counts_np(piece, k)
+            acc.add(keys, vals)
+    return acc.result()
+
+
+def count_files(
+    paths: list[str],
+    k: int,
+    out_db: str,
+    chunk: int = 1 << 22,
+    use_device: bool = True,
+    log=sys.stderr,
+) -> KmerDB:
+    """Count k-mers of FASTA/FASTQ files into a new MKDB."""
+    def all_seqs():
+        for p in paths:
+            yield from SeqFile(p)
+
+    keys, vals, total = count_sequences(all_seqs(), k, chunk=chunk,
+                                        use_device=use_device, log=log)
+    if keys.size and int(vals.max()) > 0xFFFFFFFF:
+        raise ValueError("k-mer count exceeds uint32 (unsupported)")
+    return KmerDB.create(out_db, k, keys, vals.astype(np.uint32), total=total)

@@ -1,0 +1,88 @@
+"""2-bit k-mer packing and canonicalization (host/numpy side).
+
+Replaces the reference's rolling ``kmerIterator`` (consumed at
+merfin-dump.C:44-61, varMer.C:76): instead of a scalar rolling window, the
+whole sequence chunk is vectorized — every k-mer start position produces a
+packed uint64 forward mer, reverse-complement mer, and a validity flag
+(window free of non-ACGT bases).
+
+Encoding: A=0, C=1, G=2, T=3 (alphabetical; case-insensitive), anything
+else = 4 (invalid).  Forward mers pack the first base into the most
+significant bits so that integer order == lexicographic ACGT order.
+Canonical mer = min(fmer, rmer), stored once, like a canonical meryl DB.
+
+The jnp/Pallas device equivalents live in merfin_tpu/ops/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Base -> 2-bit code lookup table over raw bytes.  4 marks invalid.
+_CODE = np.full(256, 4, dtype=np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _CODE[b] = i
+for i, b in enumerate(b"acgt"):
+    _CODE[b] = i
+
+CODE_A, CODE_C, CODE_G, CODE_T, CODE_N = 0, 1, 2, 3, 4
+
+
+def encode_bases(seq: bytes | str | np.ndarray) -> np.ndarray:
+    """Encode a DNA sequence into uint8 codes (0-3 = ACGT, 4 = invalid)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    if isinstance(seq, (bytes, bytearray)):
+        raw = np.frombuffer(bytes(seq), dtype=np.uint8)
+    else:
+        raw = np.asarray(seq, dtype=np.uint8)
+    return _CODE[raw]
+
+
+def revcomp_np(mers: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement packed mers (vectorized)."""
+    m = np.asarray(mers, dtype=np.uint64)
+    out = np.zeros_like(m)
+    comp = ~m  # complement of every 2-bit code: 0<->3, 1<->2
+    for _ in range(k):
+        out = (out << np.uint64(2)) | (comp & np.uint64(3))
+        comp >>= np.uint64(2)
+    return out
+
+
+def kmers_from_codes_np(
+    codes: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All k-mers of a code array.
+
+    Returns (fmer, rmer, valid) arrays of length ``len(codes) - k + 1``
+    (empty if the sequence is shorter than k).  ``valid[i]`` is False when
+    the window ``codes[i:i+k]`` contains a non-ACGT base, mirroring
+    kmerIterator::isValid() (merfin-histogram.C:55).
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = codes.shape[0] - k + 1
+    if n <= 0:
+        e = np.zeros(0, dtype=np.uint64)
+        return e, e.copy(), np.zeros(0, dtype=bool)
+
+    good = codes < 4
+    c = np.where(good, codes, 0).astype(np.uint64)
+
+    # fmer: rolling big-endian pack via prefix windows.
+    fmer = np.zeros(n, dtype=np.uint64)
+    rmer = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        fmer = (fmer << np.uint64(2)) | c[j : j + n]
+        rmer |= ((np.uint64(3) - c[j : j + n]) << np.uint64(2 * j))
+
+    # validity: window all-good via prefix sums of the bad mask
+    bad = (~good).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(bad)])
+    valid = (cs[k:] - cs[:-k]) == 0
+    return fmer, rmer, valid
+
+
+def canonical_np(fmer: np.ndarray, rmer: np.ndarray) -> np.ndarray:
+    """Canonical representation: min(fmer, rmer)."""
+    return np.minimum(fmer, rmer)

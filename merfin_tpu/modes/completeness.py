@@ -1,0 +1,103 @@
+"""-completeness mode: k-mer completeness from the two databases.
+
+The reference streams both DBs 64 ways and merge-joins sorted k-mer
+streams per slice under OpenMP (merfin-completeness.C:49-143).  On TPU
+the merge-join becomes a batched array join: for every read-DB slice, a
+vectorized searchsorted of its keys into the assembly slice yields the
+assembly value (0 when absent); asm-only k-mers are skipped exactly as in
+the reference (merfin-completeness.C:100-109).  Per-slice partial sums
+reduce to COMPLETENESS = 1 - undrc/total.
+
+Accumulation is float64 per slice, matching the reference's per-thread
+doubles; slice order of the final reduction is fixed (0..63).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from merfin_tpu.config import ensure_x64
+from merfin_tpu.io.mkdb import KmerDB, SLICES
+from merfin_tpu.ops.score_ops import get_k_jnp, prob_table_arrays
+from merfin_tpu.score.kstar import ProbTable
+
+
+def run_completeness(
+    read_db: KmerDB,
+    asm_db: KmerDB,
+    peak: float,
+    prob_table: ProbTable | None = None,
+    log=sys.stderr,
+    block: int = 1 << 22,
+):
+    ensure_x64()
+    import jax
+    import jax.numpy as jnp
+
+    copy_k, copy_p, table_len = prob_table_arrays(prob_table)
+
+    @jax.jit
+    def slice_stats(read_keys, read_vals, read_mask, asm_keys, asm_vals):
+        idx = jnp.searchsorted(asm_keys, read_keys)
+        idx_c = jnp.minimum(idx, asm_keys.shape[0] - 1)
+        hit = asm_keys[idx_c] == read_keys
+        asm_v = jnp.where(hit, asm_vals[idx_c], jnp.uint32(0))
+        read_k, asm_k, _ = get_k_jnp(
+            read_vals.astype(jnp.uint64), asm_v.astype(jnp.uint64),
+            peak, copy_k, copy_p, table_len,
+        )
+        read_k = jnp.where(read_mask, read_k, 0.0)
+        asm_k = jnp.where(read_mask, asm_k, 0.0)
+        total = jnp.sum(read_k)
+        undrc = jnp.sum(jnp.where(read_k > asm_k, read_k - asm_k, 0.0))
+        return total, undrc
+
+    compl_total = np.zeros(SLICES, dtype=np.float64)
+    compl_undrc = np.zeros(SLICES, dtype=np.float64)
+
+    for ii in range(SLICES):
+        r_keys, r_vals = read_db.slice(ii)
+        a_keys, a_vals = asm_db.slice(ii)
+        a_keys = np.asarray(a_keys, dtype=np.uint64)
+        a_vals = np.asarray(a_vals, dtype=np.uint32)
+        # Pad the assembly slice to a power of two so at most log2 shapes
+        # compile across the 64 slices.  Pad keys are u64::MAX, which no
+        # k-mer (<= 2^62 for k <= 31) can equal -> read as absent.
+        padded = 1 << max(0, (a_keys.size - 1).bit_length())
+        if padded < 1:
+            padded = 1
+        if a_keys.size < padded:
+            a_keys = np.pad(a_keys, (0, padded - a_keys.size),
+                            constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
+            a_vals = np.pad(a_vals, (0, padded - a_vals.size))
+        for lo in range(0, max(r_keys.shape[0], 1), block):
+            rk = np.asarray(r_keys[lo : lo + block], dtype=np.uint64)
+            rv = np.asarray(r_vals[lo : lo + block], dtype=np.uint32)
+            if rk.size == 0:
+                break
+            n = rk.size
+            if n < block:
+                rk = np.pad(rk, (0, block - n))
+                rv = np.pad(rv, (0, block - n))
+            mask = np.zeros(block, dtype=bool)
+            mask[:n] = True
+            t, u = slice_stats(rk, rv, mask, a_keys, a_vals)
+            compl_total[ii] += float(t)
+            compl_undrc[ii] += float(u)
+
+        c = 1.0 - compl_undrc[ii] / compl_total[ii] if compl_total[ii] else float("nan")
+        print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
+              f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
+
+    total = float(np.sum(compl_total))
+    undrc = float(np.sum(compl_undrc))
+    completeness = 1.0 - undrc / total if total else float("nan")
+
+    print("", file=log)
+    print(f"TOTAL readK:   {total:15.2f}", file=log)
+    print(f"TOTAL undrcpy:    {undrc:15.5f}", file=log)
+    print(f"COMPLETENESS:             {completeness:0.5f}", file=log)
+
+    return {"total": total, "undrc": undrc, "completeness": completeness}

@@ -1,0 +1,190 @@
+"""The streaming K* engine shared by -hist and -dump.
+
+Replaces the reference's sweatShop loader→worker→writer pipeline
+(merfin.C:366-413): sequences are chunked into fixed-size windows with
+k-1 overlap, batches of chunks run through one jitted device program
+(k-mer extraction → dual-table lookup → getK → classify/bin), and the
+tiny per-chunk aggregates return to the host, which keeps exact per-
+sequence and global accumulators in float64/ints.
+
+Out-of-sequence tail positions are padded with code 4 (invalid), so their
+windows are skipped exactly like windows containing N.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+from merfin_tpu.config import ensure_x64
+from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
+from merfin_tpu.ops.score_ops import get_k_jnp, k_metric_jnp, prob_table_arrays
+from merfin_tpu.score.kstar import ProbTable
+
+NBINS = 1 << 14          # k* histogram bins per side (ratio up to ~3277)
+PAD_CODE = 4
+
+
+@dataclasses.dataclass
+class SeqStats:
+    kasm: int = 0
+    kmissing: int = 0
+    kover_cpy: float = 0.0
+
+
+class KstarEngine:
+    def __init__(
+        self,
+        read_lookup,
+        asm_lookup,
+        k: int,
+        peak: float,
+        prob_table: ProbTable | None = None,
+        chunk: int = 1 << 19,
+        batch: int = 4,
+    ):
+        ensure_x64()
+        import jax
+
+        self.read_lookup = read_lookup
+        self.asm_lookup = asm_lookup
+        self.k = k
+        self.peak = float(peak)
+        self.chunk = chunk
+        self.batch = batch
+        self.copy_k, self.copy_p, self.table_len = prob_table_arrays(prob_table)
+
+        self._hist_step = jax.jit(self._hist_chunk)
+        self._dump_step = jax.jit(self._dump_chunk)
+
+    # ---- device programs ----
+
+    def _lookup_kvals(self, codes):
+        """codes [..., C + k - 1] -> (readK, asmK, prob, valid) [..., C]."""
+        fmer, rmer, valid = kmer_windows(codes, self.k)
+        canon, mult = canonical_and_mult(fmer, rmer)
+        read_v = self.read_lookup.lookup(canon).astype(np.uint64) * mult
+        asm_v = self.asm_lookup.lookup(canon).astype(np.uint64) * mult
+        read_k, asm_k, prob = get_k_jnp(
+            read_v, asm_v, self.peak, self.copy_k, self.copy_p, self.table_len
+        )
+        import jax.numpy as jnp
+
+        read_k = jnp.where(valid, read_k, 0.0)
+        asm_k = jnp.where(valid, asm_k, 0.0)
+        return read_k, asm_k, prob, valid
+
+    def _hist_chunk(self, codes):
+        """codes uint8 [B, C + k - 1] -> per-batch reduced hist stats.
+
+        Mirrors processHistogram (merfin-histogram.C:36-92): invalid
+        windows are skipped entirely; missing (readK==0) counted; undr
+        k-mers binned by trunc((asmK/readK-1+0.1)/0.2) and accumulate the
+        QV* excess term (1-readK/asmK)*prob; everything else binned in
+        over[].
+        """
+        import jax.numpy as jnp
+
+        read_k, asm_k, prob, valid = self._lookup_kvals(codes)
+
+        missing = valid & (read_k == 0)
+        is_undr = valid & (read_k > 0) & (asm_k > read_k)
+        is_over = valid & (read_k > 0) & ~is_undr
+
+        kasm = jnp.sum(valid)
+        kmissing = jnp.sum(missing)
+        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+
+        safe_r = jnp.where(read_k > 0, read_k, 1.0)
+        safe_a = jnp.where(asm_k > 0, asm_k, 1.0)
+        undr_idx = jnp.trunc((asm_k / safe_r - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+        over_idx = jnp.trunc((read_k / safe_a - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+
+        max_idx = jnp.maximum(
+            jnp.max(jnp.where(is_undr, undr_idx, 0)),
+            jnp.max(jnp.where(is_over, over_idx, 0)),
+        )
+        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
+        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
+
+        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        return kasm, kmissing, kover, undr_hist, over_hist, max_idx
+
+    def _dump_chunk(self, codes):
+        """codes uint8 [C + k - 1] -> per-position readK/asmK/K* + counts.
+
+        Mirrors processDump (merfin-dump.C:21-68).
+        """
+        import jax.numpy as jnp
+
+        read_k, asm_k, prob, valid = self._lookup_kvals(codes)
+        kasm = jnp.sum(valid)
+        kmissing = jnp.sum(valid & (read_k == 0))
+        kmetric = jnp.where(valid, k_metric_jnp(read_k, asm_k), 0.0)
+        return read_k, asm_k, kmetric, kasm, kmissing
+
+    # ---- host streaming ----
+
+    def chunks_of(self, codes: np.ndarray):
+        """Yield (start, padded_chunk[C + k - 1]) covering every window."""
+        C, k = self.chunk, self.k
+        n_pos = max(0, codes.shape[0] - k + 1)
+        for start in range(0, max(n_pos, 1), C):
+            buf = np.full(C + k - 1, PAD_CODE, dtype=np.uint8)
+            piece = codes[start : start + C + k - 1]
+            buf[: piece.shape[0]] = piece
+            yield start, buf
+
+    def hist_sequence(self, codes: np.ndarray) -> tuple[SeqStats, np.ndarray, np.ndarray]:
+        """Full -hist stats for one sequence's code array."""
+        stats = SeqStats()
+        undr = np.zeros(NBINS, dtype=np.int64)
+        over = np.zeros(NBINS, dtype=np.int64)
+        if codes.shape[0] < self.k:
+            return stats, undr, over
+
+        batch_buf = []
+        for _, buf in self.chunks_of(codes):
+            batch_buf.append(buf)
+            if len(batch_buf) == self.batch:
+                self._hist_apply(np.stack(batch_buf), stats, undr, over)
+                batch_buf = []
+        if batch_buf:
+            # pad the batch with all-invalid rows to keep one compiled shape
+            while len(batch_buf) < self.batch:
+                batch_buf.append(np.full(self.chunk + self.k - 1, PAD_CODE, np.uint8))
+            self._hist_apply(np.stack(batch_buf), stats, undr, over)
+        return stats, undr, over
+
+    def _hist_apply(self, codes, stats: SeqStats, undr, over) -> None:
+        kasm, kmissing, kover, uh, oh, max_idx = self._hist_step(codes)
+        if int(max_idx) >= NBINS:
+            raise RuntimeError(
+                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
+                "increase merfin_tpu.modes.engine.NBINS"
+            )
+        stats.kasm += int(kasm)
+        stats.kmissing += int(kmissing)
+        stats.kover_cpy += float(kover)
+        undr += np.asarray(uh)
+        over += np.asarray(oh)
+
+    def dump_sequence(self, codes: np.ndarray):
+        """Yield (start, readK, asmK, kmetric, kasm, kmissing) per chunk."""
+        if codes.shape[0] < self.k:
+            return
+        n_pos = codes.shape[0] - self.k + 1
+        for start, buf in self.chunks_of(codes):
+            rk, ak, km, kasm, kmis = self._dump_step(buf)
+            n = min(self.chunk, n_pos - start)
+            yield (
+                start,
+                np.asarray(rk)[:n],
+                np.asarray(ak)[:n],
+                np.asarray(km)[:n],
+                int(kasm),
+                int(kmis),
+            )

@@ -1,0 +1,72 @@
+"""-hist mode driver: per-sequence QV lines + k* histogram + QV/QV*.
+
+Output parity targets:
+  * per-sequence stderr line "ident\tmissing\tcum_missing\tkasm\tQV"
+    (merfin-histogram.C:128-133; kasm is the PER-SEQUENCE k-mer count),
+  * histogram file: negative undr bins high→1, a combined 0.0 line, then
+    positive over bins (merfin-histogram.C:149-163),
+  * stderr summary with Missing QV / Merfin QV* (merfin-histogram.C:167-175).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from merfin_tpu.io.compressed import open_write_text
+from merfin_tpu.io.fasta import SeqFile
+from merfin_tpu.modes.engine import KstarEngine, NBINS
+from merfin_tpu.score.kstar import histo_qv
+
+
+def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stderr):
+    k = engine.k
+    g_missing = 0
+    g_kasm = 0
+    g_kover = 0.0
+    g_undr = np.zeros(NBINS, dtype=np.int64)
+    g_over = np.zeros(NBINS, dtype=np.int64)
+
+    for seq in seq_file:
+        print(f"Processing sequence {seq.ident} for histogram", file=log)
+        stats, undr, over = engine.hist_sequence(seq.codes())
+        print(f"Output sequence {seq.ident}", file=log)
+
+        g_missing += stats.kmissing
+        g_kasm += stats.kasm
+        g_kover += stats.kover_cpy
+        g_undr += undr
+        g_over += over
+
+        qv = histo_qv(stats.kmissing, stats.kasm, k)
+        print(f"{seq.ident}\t{stats.kmissing}\t{g_missing}\t{stats.kasm}\t{qv:.2f}",
+              file=log)
+
+    # histogram file (reportHistogram, merfin-histogram.C:141-163)
+    with open_write_text(out_name) as f:
+        for ii in range(NBINS - 1, 0, -1):
+            if g_undr[ii] > 0:
+                f.write(f"{ii * -0.2:.1f}\t{g_undr[ii]}\n")
+        f.write(f"{0.0:.1f}\t{g_undr[0] + g_over[0]}\n")
+        for ii in range(1, NBINS):
+            if g_over[ii] > 0:
+                f.write(f"{ii * 0.2:.1f}\t{g_over[ii]}\n")
+
+    print("", file=log)
+    print(f"K-mers not found in reads (missing) : {g_missing}", file=log)
+    print(f"K-mers overly represented in assembly: {g_kover:.2f}", file=log)
+    print(f"K-mers found in the assembly: {g_kasm}", file=log)
+    print(f"Missing QV: {histo_qv(g_missing, g_kasm, k):.2f}", file=log)
+    print(f"Merfin QV*: {histo_qv(g_missing + g_kover, g_kasm, k):.2f}", file=log)
+    print("*** Note this QV is valid only if -seqmer was generated with -sequence ***\n", file=log)
+    print("*** Missing QV only considers missing kmers as errors. Merfin QV* includes overrepresented kmers. ***\n", file=log)
+    print("*** When the lookup table is provided, missing QV includes weighted low frequency kmers, otherwise it is identical to Merqury QV. ***\n", file=log)
+
+    return {
+        "missing": g_missing,
+        "kasm": g_kasm,
+        "kover_cpy": g_kover,
+        "qv_missing": histo_qv(g_missing, g_kasm, k),
+        "qv_star": histo_qv(g_missing + g_kover, g_kasm, k),
+    }

@@ -1,0 +1,208 @@
+"""Variant report modes: -filter / -polish / -better / -strict / -loose.
+
+Driver shape follows processVariants/outputVariants
+(merfin-variants.C:131-345):
+
+  for each sequence with clusters:
+    window = cluster span padded by k-1 each side (uint32-clamped),
+    PANIC-skip invalid regions and clusters with more than `comb`
+    variants, enumerate REF/ALT paths, score, select by mode.
+
+All clusters of a sequence are enumerated first, then scored through one
+batched table-lookup dispatch (splitting at ~`query_budget` k-mers), then
+selected in order — preserving output and debug-log determinism (single-
+writer order; the reference runs this out-of-order across threads).
+
+Output file naming preserves the reference quirk: `<out>.polish.vcf` for
+-polish only, `<out>.filter.vcf` for every other mode including
+-better/-strict/-loose (merfin-variants.C:320-334).  Input headers are
+replayed verbatim.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from merfin_tpu.io.compressed import open_write_text
+from merfin_tpu.io.fasta import SeqFile, Sequence
+from merfin_tpu.io.vcf import VcfFile, PosGT
+from merfin_tpu.score.kstar import ProbTable
+from merfin_tpu.variants.enumerate import enumerate_paths, VarPath
+from merfin_tpu.variants.score import score_path_groups, PathScore
+from merfin_tpu.variants import select
+
+_U32 = 1 << 32
+
+
+def cluster_window(pos_gt: PosGT, k: int, seq_len: int) -> tuple[int, int]:
+    """Padded window coordinates (merfin-variants.C:166-176), with the
+    reference's uint32 arithmetic at the boundaries."""
+    k_padd = k - 1
+    r_start = pos_gt.r_start
+    r_end = pos_gt.r_end
+    if r_start > k_padd:
+        r_start -= k_padd
+    else:
+        r_start = 0
+    # uint32: seq_len - k_padd underflows for seq_len < k_padd
+    limit = (seq_len - k_padd) % _U32
+    if r_end < limit:
+        r_end += k_padd
+    else:
+        r_end = seq_len
+    return r_start, r_end
+
+
+def prepare_cluster(
+    seq: Sequence, pos_gt: PosGT, k: int, comb: int, log=sys.stderr
+) -> tuple[int, int, list[VarPath]] | None:
+    """Enumerate one cluster; None on PANIC-skip."""
+    r_start, r_end = cluster_window(pos_gt, k, seq.length)
+
+    ref_idx = [(gt.pos - r_start) % _U32 for gt in pos_gt.gts]
+    ref_len = [gt.ref_len for gt in pos_gt.gts]
+    haps = [gt.alleles for gt in pos_gt.gts]
+
+    template = seq.copy_region(r_start, r_end)
+    if template is None:
+        print(f"PANIC : Invalid region specified: {seq.ident} : {r_start} - {r_end}",
+              file=log)
+        return None
+
+    if len(ref_idx) > comb:
+        print(f"PANIC : Combination {seq.ident}:{r_start}-{r_end} has too many "
+              f"variants ( found {len(pos_gt.gts)} > {comb} ) to evaluate. "
+              f"Consider filtering the vcf upfront. Skipping...", file=log)
+        return None
+
+    paths = enumerate_paths(template.decode("ascii"), ref_idx, ref_len, haps)
+    return r_start, r_end, paths
+
+
+class DebugWriter:
+    """Per-path debug log (merfin-variants.C:240-276).
+
+    The reference writes one gz per worker thread; the batched engine is a
+    single logical writer, so everything lands in `<out>.00.debug.gz`
+    with globally sequential varMerIds.
+    """
+
+    def __init__(self, out_name: str):
+        self.file = open_write_text(f"{out_name}.00.debug.gz")
+        self.var_mer_id = 0
+
+    def emit(self, ident: str, r_start: int, r_end: int, pos_gt: PosGT,
+             paths: list[VarPath], scores: list[PathScore]) -> None:
+        for p, s in zip(paths, scores):
+            parts = [
+                f"{self.var_mer_id}\t{ident}:{r_start}-{r_end}\t{p.seq}\t{s.num_m}\t"
+                f"{select.min_abs_k(s):.5f}\t{select.max_abs_k(s):.5f}\t"
+                f"{select.med_abs_k(s):.5f}\t{select.avg_abs_k(s):.5f}\t"
+                f"{select.tot_dk(s):.5f}\t"
+            ]
+            self.var_mer_id += 1
+            for i, alt_idx in enumerate(p.gt_path):
+                if alt_idx > 0:
+                    gt = pos_gt.gts[i]
+                    parts.append(f"{pos_gt.chrom} {gt.pos + 1} . "
+                                 f"{gt.alleles[0]} {gt.alleles[alt_idx]} . PASS . GT 1/1  ")
+            parts.append("\n")
+            self.file.write("".join(parts))
+
+    def close(self) -> None:
+        self.file.close()
+
+
+def run_variants(
+    mode: str,
+    seq_file: SeqFile,
+    vcf: VcfFile,
+    k: int,
+    lookup_read,
+    lookup_asm,
+    peak: float,
+    prob_table: ProbTable | None,
+    out_name: str,
+    comb: int = 15,
+    debug: bool = False,
+    log=sys.stderr,
+    query_budget: int = 1 << 23,
+):
+    assert mode in ("filter", "polish", "better", "strict", "loose")
+    filter_mode = mode == "filter"
+
+    suffix = "polish" if mode == "polish" else "filter"
+    out = None  # lazily opened, like outputVariants (merfin-variants.C:321)
+    dbg = DebugWriter(out_name) if debug else None
+
+    def ensure_out():
+        nonlocal out
+        if out is None:
+            out = open_write_text(f"{out_name}.{suffix}.vcf")
+            for h in vcf.headers:
+                out.write(h + "\n")
+        return out
+
+    n_selected = 0
+    for seq in seq_file:
+        # The reference's writer opens the output (headers included) for
+        # the first sequence regardless of whether it has any variants
+        # (outputVariants runs per sequence, merfin-variants.C:313-341).
+        ensure_out()
+        clusters = vcf.by_chrom.get(seq.ident)
+        if clusters is None:
+            continue
+        print(f"Processing sequence {seq.ident} for variants", file=log)
+
+        # enumerate all clusters of this sequence
+        prepared: list[tuple[PosGT, int, int, list[VarPath]] | None] = []
+        for pos_gt in clusters:
+            r = prepare_cluster(seq, pos_gt, k, comb, log=log)
+            prepared.append(None if r is None else (pos_gt, r[0], r[1], r[2]))
+
+        # score in budgeted batches, then select in order
+        result_parts: list[str] = []
+        i = 0
+        while i < len(prepared):
+            j = i
+            budget = 0
+            groups: list[list[VarPath]] = []
+            while j < len(prepared) and (budget == 0 or budget < query_budget):
+                if prepared[j] is not None:
+                    paths = prepared[j][3]
+                    budget += sum(max(0, len(p.seq) - k + 1) for p in paths)
+                    groups.append(paths)
+                else:
+                    groups.append([])
+                j += 1
+            scored = score_path_groups(
+                groups, k, lookup_read, lookup_asm, peak, prob_table, filter_mode
+            )
+            for entry, scores in zip(prepared[i:j], scored):
+                if entry is None:
+                    continue
+                pos_gt, r_start, r_end, paths = entry
+                if dbg is not None:
+                    dbg.emit(seq.ident, r_start, r_end, pos_gt, paths, scores)
+                if mode == "polish":
+                    result_parts.append(select.best_variant(paths, scores, pos_gt, k))
+                elif mode == "better":
+                    result_parts.append(select.better_variant(paths, scores, pos_gt, k))
+                elif mode == "strict":
+                    result_parts.append(select.strict_polish(paths, scores, pos_gt, k))
+                elif mode == "loose":
+                    result_parts.append(select.loose_polish(paths, scores, pos_gt, k, log=log))
+                else:
+                    recs = select.best_filter(paths, scores, pos_gt, k)
+                    result_parts.append("".join(r.save() for r in recs))
+            i = j
+
+        text = "".join(result_parts)
+        n_selected += text.count("\n")
+        ensure_out().write(text)
+
+    if out is not None:
+        out.close()
+    if dbg is not None:
+        dbg.close()
+    return {"records": n_selected}

@@ -1,0 +1,103 @@
+"""The full multi-chip -hist/-dump step: data-parallel chunks over the
+"d" mesh axis, table-parallel lookups over "t", collective-merged
+accumulators — the TPU equivalent of merfin's entire parallel stack
+(sweatShop pipeline + OpenMP + Slurm scatter-gather, SURVEY.md §2.3).
+
+Each device holds one table shard and one slice of the chunk batch.
+Per-(chunk, kmer) values come from a psum over "t"; per-device partial
+histograms/counters then psum over BOTH axes into replicated globals —
+exactly the reference's writer-thread merge (merfin-histogram.C:110-124)
+as a collective reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from merfin_tpu.modes.engine import NBINS
+from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
+from merfin_tpu.ops.score_ops import get_k_jnp
+from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
+
+
+def make_hist_step(
+    mesh,
+    read_lookup: ShardedLookup,
+    asm_lookup: ShardedLookup,
+    k: int,
+    peak: float,
+    copy_k,
+    copy_p,
+    table_len: int,
+):
+    """Build a jitted step: codes uint8 [B, C + k - 1] (B sharded over
+    "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS]).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("t", None), P("t", None),   # read table shard
+            P("t", None), P("t", None),   # asm table shard
+            P("d", None),                 # codes: chunk batch sharded on d
+        ),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def step(rk_keys, rk_vals, as_keys, as_vals, codes):
+        fmer, rmer, valid = kmer_windows(codes, k)
+        canon, mult = canonical_and_mult(fmer, rmer)
+
+        read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
+        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
+        read_v = read_v.astype(jnp.uint64) * mult
+        asm_v = asm_v.astype(jnp.uint64) * mult
+
+        read_k, asm_k, prob = get_k_jnp(read_v, asm_v, peak, copy_k, copy_p, table_len)
+        read_k = jnp.where(valid, read_k, 0.0)
+        asm_k = jnp.where(valid, asm_k, 0.0)
+
+        missing = valid & (read_k == 0)
+        is_undr = valid & (read_k > 0) & (asm_k > read_k)
+        is_over = valid & (read_k > 0) & ~is_undr
+
+        kasm = jnp.sum(valid)
+        kmissing = jnp.sum(missing)
+        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+
+        safe_r = jnp.where(read_k > 0, read_k, 1.0)
+        safe_a = jnp.where(asm_k > 0, asm_k, 1.0)
+        undr_idx = jnp.trunc((asm_k / safe_r - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+        over_idx = jnp.trunc((read_k / safe_a - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
+        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
+        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+
+        # Merge the data-parallel partials.  After the value psum over
+        # "t", every t-shard of a d-row computed identical partials, so a
+        # psum over "d" alone yields the global value, already replicated
+        # across "t" (satisfying the replicated out_specs).
+        kasm = jax.lax.psum(kasm, "d")
+        kmissing = jax.lax.psum(kmissing, "d")
+        kover = jax.lax.psum(kover, "d")
+        undr_hist = jax.lax.psum(undr_hist, "d")
+        over_hist = jax.lax.psum(over_hist, "d")
+        return kasm, kmissing, kover, undr_hist, over_hist
+
+    def run(codes):
+        return step(
+            read_lookup.keys, read_lookup.vals,
+            asm_lookup.keys, asm_lookup.vals,
+            codes,
+        )
+
+    import jax
+
+    return jax.jit(run)

@@ -1,0 +1,152 @@
+"""Sharded k-mer lookup across a device mesh.
+
+The reference duplicates the full ~150-200 GB lookup table in host RAM on
+every cluster node (scripts/parallel1/run.sh budgets; SURVEY.md §2.3).
+Here the table is hash-partitioned by sorted key range across the mesh's
+"t" (table) axis, each device holding ~1/D of the rows in HBM.  A lookup
+broadcasts the query batch along "t"; every device probes its local
+sorted shard (misses cost one clipped binary search) and the per-device
+partial values — zero everywhere except the owner shard — combine with a
+single psum over ICI.  Queries sharded along the "d" (data) axis stay
+sharded: the collective only rides the table axis.
+
+This expresses merfin's whole parallel inventory (sweatShop pipeline,
+OpenMP slices, Slurm scatter — SURVEY.md §2.3) as one pjit'able program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+from merfin_tpu.config import ensure_x64
+from merfin_tpu.io.mkdb import KmerDB
+
+PAD_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def make_mesh(n_devices: int | None = None, data: int | None = None):
+    """A ("d", "t") mesh over the available devices."""
+    ensure_x64()
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if data is None:
+        # favor table sharding; data axis takes what divides evenly
+        data = 1
+        for cand in (4, 2, 1):
+            if n % cand == 0 and n // cand >= 1:
+                data = cand
+                break
+    table = n // data
+    arr = np.asarray(devs).reshape(data, table)
+    return Mesh(arr, ("d", "t"))
+
+
+def partition_rows(keys: np.ndarray, vals: np.ndarray, shards: int):
+    """Split sorted rows into `shards` contiguous, equal-padded blocks.
+
+    Returns (keys[D, M], vals[D, M], starts[D]) with u64::MAX key padding
+    (matches no real k-mer, which need <= 62 bits for k <= 31).
+    """
+    n = keys.shape[0]
+    bounds = [round(i * n / shards) for i in range(shards + 1)]
+    m = max(1, max(bounds[i + 1] - bounds[i] for i in range(shards)))
+    out_k = np.full((shards, m), PAD_KEY, dtype=np.uint64)
+    out_v = np.zeros((shards, m), dtype=np.uint32)
+    for i in range(shards):
+        a, b = bounds[i], bounds[i + 1]
+        out_k[i, : b - a] = keys[a:b]
+        out_v[i, : b - a] = vals[a:b]
+    return out_k, out_v
+
+
+@dataclasses.dataclass
+class ShardedLookup:
+    """Device-mesh resident exact lookup (value 0 for absent keys)."""
+
+    mesh: object
+    keys: object   # [T, M] sharded along "t"
+    vals: object   # [T, M] sharded along "t"
+    n: int
+    k: int
+
+    @classmethod
+    def build(cls, db_or_arrays, mesh, min_v: int = 0, max_v: int = 2**64 - 1):
+        ensure_x64()
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if isinstance(db_or_arrays, KmerDB):
+            keys = np.asarray(db_or_arrays.keys, dtype=np.uint64)
+            vals = np.asarray(db_or_arrays.vals, dtype=np.uint32)
+            k = db_or_arrays.k
+        else:
+            keys, vals, k = db_or_arrays
+        if min_v > 0 or max_v < 2**64 - 1:
+            m = (vals >= min_v) & (vals <= max_v)
+            keys, vals = keys[m], vals[m]
+
+        t = mesh.shape["t"]
+        kk, vv = partition_rows(keys, vals, t)
+        sh = NamedSharding(mesh, P("t", None))
+        return cls(
+            mesh=mesh,
+            keys=jax.device_put(kk, sh),
+            vals=jax.device_put(vv, sh),
+            n=int(keys.shape[0]),
+            k=int(k),
+        )
+
+    def lookup(self, q):
+        """Replicated-in, replicated-out lookup of a query array."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P("t", None), P("t", None), P()),
+            out_specs=P(),
+        )
+        def f(keys, vals, q):
+            out = _local_probe(keys[0], vals[0], q)
+            return jax.lax.psum(out, "t")
+
+        return f(self.keys, self.vals, q)
+
+    def lookup_sharded(self, q, qspec):
+        """Lookup with queries sharded along the "d" axis (qspec P("d"))."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P("t", None), P("t", None), qspec),
+            out_specs=qspec,
+        )
+        def f(keys, vals, q):
+            out = _local_probe(keys[0], vals[0], q)
+            return jax.lax.psum(out, "t")
+
+        return f(self.keys, self.vals, q)
+
+
+def _local_probe(keys, vals, q):
+    """Binary-search probe of a local sorted shard; 0 where absent."""
+    import jax.numpy as jnp
+
+    qs = q.reshape(-1)
+    idx = jnp.searchsorted(keys, qs)
+    idx_c = jnp.minimum(idx, keys.shape[0] - 1)
+    hit = keys[idx_c] == qs
+    return jnp.where(hit, vals[idx_c], jnp.uint32(0)).reshape(q.shape)

@@ -1,0 +1,159 @@
+"""Exact k-mer lookup tables — the TPU replacement for merylExactLookup.
+
+The reference keeps a prefix-indexed bit-packed table in host RAM and does
+one pointer-chasing probe per k-mer (kmers-exact.C via merfin-globals.C:
+107-108).  Here the table is two flat device arrays (sorted canonical keys
+uint64 + values uint32) plus a prefix-bucket offset index; a batched
+bucketized binary search answers millions of queries per dispatch, fully
+vectorized (gathers) with no host round-trips.
+
+``value(mer) == 0`` for absent mers, matching merylExactLookup.  -min/-max
+filtering (read DB only, merfin-globals.C:136) happens at build by
+dropping rows, so filtered mers read as absent.
+
+Sharding across a mesh lives in merfin_tpu/parallel/sharded.py; this
+module is the single-device core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from merfin_tpu.config import ensure_x64
+from merfin_tpu.io.mkdb import KmerDB
+
+
+@dataclasses.dataclass
+class HostLookup:
+    """Numpy fallback with identical semantics (used by tests/tools)."""
+
+    keys: np.ndarray   # uint64 sorted
+    vals: np.ndarray   # uint32
+
+    def __call__(self, q: np.ndarray) -> np.ndarray:
+        q = np.asarray(q, dtype=np.uint64)
+        if self.keys.size == 0:
+            return np.zeros(q.shape, dtype=np.uint64)
+        idx = np.searchsorted(self.keys, q)
+        idx_c = np.minimum(idx, self.keys.size - 1)
+        hit = self.keys[idx_c] == q
+        return np.where(hit, self.vals[idx_c].astype(np.uint64), np.uint64(0))
+
+
+def _pick_bucket_bits(n: int, k: int) -> int:
+    if n <= 0:
+        return 1
+    b = int(math.ceil(math.log2(n + 1)))
+    return max(1, min(b, 22, 2 * k))
+
+
+class DeviceLookup:
+    """Sorted-array + prefix-bucket exact lookup, resident in device HBM."""
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray, k: int, device=None):
+        ensure_x64()
+        import jax
+        import jax.numpy as jnp
+
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        vals = np.ascontiguousarray(vals, dtype=np.uint32)
+        assert keys.shape == vals.shape
+        self.k = int(k)
+        self.n = int(keys.size)
+        self.bits = _pick_bucket_bits(self.n, self.k)
+        self.shift = 2 * self.k - self.bits
+
+        prefixes = (keys >> np.uint64(self.shift)).astype(np.int64)
+        offsets = np.searchsorted(
+            prefixes, np.arange((1 << self.bits) + 1, dtype=np.int64)
+        ).astype(np.int32)
+        max_bucket = int(np.max(offsets[1:] - offsets[:-1])) if self.n else 0
+        self.search_iters = max(1, math.ceil(math.log2(max_bucket + 1))) if max_bucket else 0
+
+        self._jit_lookup = None
+        put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
+        # Pad so clipped gathers stay in-bounds even for an empty table.
+        self.keys = put(keys if self.n else np.zeros(1, np.uint64))
+        self.vals = put(vals if self.n else np.zeros(1, np.uint32))
+        self.offsets = put(offsets)
+
+    def memory_bytes(self) -> int:
+        return self.n * 12 + ((1 << self.bits) + 1) * 4
+
+    def lookup_np(self, q: np.ndarray) -> np.ndarray:
+        """Numpy-in/numpy-out batched lookup for host-driven pipelines.
+
+        Queries are padded to the next power of two (>= 4096) so repeated
+        calls reuse a small set of compiled shapes.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self._jit_lookup is None:
+            self._jit_lookup = jax.jit(self.lookup)
+        q = np.ascontiguousarray(q, dtype=np.uint64)
+        n = q.size
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        p = max(4096, 1 << (n - 1).bit_length())
+        qp = np.zeros(p, dtype=np.uint64)
+        qp[:n] = q.reshape(-1)
+        out = np.asarray(self._jit_lookup(jnp.asarray(qp)))[:n]
+        return out.astype(np.uint64).reshape(q.shape)
+
+    def lookup(self, q):
+        """Values for queried mers (uint64 array) — 0 where absent.
+
+        Traceable under jit; q may be any shape.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self.n == 0 or self.search_iters == 0:
+            # A table with <=1 distinct bucket entry still needs the probe
+            # when n == 1; handle the truly empty case cheaply.
+            if self.n == 0:
+                return jnp.zeros(q.shape, dtype=jnp.uint32)
+
+        qs = q.reshape(-1)
+        b = (qs >> np.uint64(self.shift)).astype(jnp.int32)
+        lo = self.offsets[b]
+        hi = self.offsets[b + 1]
+
+        def body(_, state):
+            lo, hi = state
+            mid = (lo + hi) >> 1
+            km = self.keys[mid]
+            go_right = km < qs
+            return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, max(self.search_iters, 1), body, (lo, hi))
+        idx = jnp.minimum(lo, self.n - 1)
+        hit = (self.keys[idx] == qs) & (lo < self.offsets[b + 1])
+        out = jnp.where(hit, self.vals[idx], jnp.uint32(0))
+        return out.reshape(q.shape)
+
+
+def build_lookup(
+    db: KmerDB,
+    min_v: int = 0,
+    max_v: int = 2**64 - 1,
+    device=None,
+    host: bool = False,
+) -> DeviceLookup | HostLookup:
+    """Load an MKDB into a lookup table, applying value filters.
+
+    Mirrors merylExactLookup::load(db, mem, 0, minV, maxV)
+    (merfin-globals.C:156-159): entries outside [min_v, max_v] are absent.
+    """
+    keys = np.asarray(db.keys)
+    vals = np.asarray(db.vals)
+    if min_v > 0 or max_v < 2**64 - 1:
+        m = (vals >= min_v) & (vals <= max_v)
+        keys, vals = keys[m], vals[m]
+    if host:
+        return HostLookup(keys.astype(np.uint64), vals.astype(np.uint32))
+    return DeviceLookup(keys, vals, db.k, device=device)

@@ -1,0 +1,166 @@
+"""Candidate-path k-mer scoring — varMer::score semantics (varMer.C:49-145).
+
+For every candidate window sequence, walk its k-mers and compute:
+  * numM   — count of k-mer positions with readK == 0 (invalid windows,
+             i.e. windows containing non-ACGT bases, count as missing:
+             readK stays 0 at varMer.C:78-90),
+  * kstr   — per-kmer |K*| with -1 for missing (varMer.C:115-124),
+  * dkstr  — per-kmer delta multiplicity oDeltak - nDeltak, where each
+             delta is |readK - asmK| * prob, and nDeltak uses asmK
+             incremented by 1 for k-mers spanning an applied ALT
+             (the "new kmer" adjustment, varMer.C:98-132).
+
+The ALT-span test reproduces the reference's uint32 arithmetic: the lower
+bound `idxPath + 1 - merSize <= idx` underflows when idxPath + 1 < k,
+making the condition false for that variant (varMer.C:108).
+
+Lookups are batched: the pipeline concatenates the canonical-mer queries
+of MANY candidate paths (across clusters) into one array, dispatches the
+read/asm table lookups once, and scores each path from value slices —
+that is the whole point of the TPU design (one big gather instead of a
+pointer chase per k-mer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from merfin_tpu.kcore.pack import encode_bases, kmers_from_codes_np
+from merfin_tpu.score.kstar import ProbTable, get_k_np
+from merfin_tpu.variants.enumerate import VarPath
+
+
+@dataclasses.dataclass
+class PathScore:
+    num_m: int
+    kstr: np.ndarray     # float64 [num_kmer_positions]; empty in filter mode
+    dkstr: np.ndarray    # float64 [num_kmer_positions]; empty in filter mode
+
+
+def path_kmer_query(seq: str, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(canonical_mers, palindrome_mult, valid) for one candidate window."""
+    codes = encode_bases(seq)
+    fmer, rmer, valid = kmers_from_codes_np(codes, k)
+    canon = np.minimum(fmer, rmer)
+    mult = np.where(fmer == rmer, 2, 1).astype(np.uint64)
+    return canon, mult, valid
+
+
+def score_path_from_values(
+    path: VarPath,
+    k: int,
+    read_v: np.ndarray,
+    asm_v: np.ndarray,
+    valid: np.ndarray,
+    peak: float,
+    prob_table: ProbTable | None,
+    filter_mode: bool,
+) -> PathScore:
+    """Score one path given raw summed fmer+rmer DB values per k-mer."""
+    n = read_v.shape[0]
+    if n == 0:
+        return PathScore(0, np.zeros(0), np.zeros(0))
+
+    read_v = np.where(valid, read_v, 0)
+    asm_v = np.where(valid, asm_v, 0)
+    read_k, asm_k, prob = get_k_np(read_v, asm_v, peak, prob_table)
+    read_k = np.where(valid, read_k, 0.0)
+    asm_k = np.where(valid, asm_k, 0.0)
+
+    num_m = int(np.count_nonzero(read_k == 0))
+    if filter_mode:
+        return PathScore(num_m, np.zeros(0), np.zeros(0))
+
+    # The reference's `prob` local is only written by getK on VALID kmers
+    # (varMer.C:60,84); invalid positions see the previous valid kmer's
+    # prob (uninitialized before the first valid one — we use 1.0 there).
+    if not bool(valid.all()):
+        vi = np.where(valid, np.arange(n), -1)
+        last = np.maximum.accumulate(vi)
+        prob = np.where(last >= 0, prob[np.clip(last, 0, None)], 1.0)
+
+    o_delta = np.abs(read_k - asm_k) * prob
+
+    # new-kmer adjustment: +1 to asmK for kmers overlapping an applied ALT
+    idx = np.arange(n, dtype=np.int64)
+    adjust = np.zeros(n, dtype=bool)
+    for idx_path, len_path, gt_path in zip(path.idx_path, path.len_path, path.gt_path):
+        if gt_path <= 0:
+            continue
+        if idx_path + 1 < k:     # uint32 underflow -> condition false
+            continue
+        lo = idx_path + 1 - k
+        hi = idx_path + len_path + k
+        adjust |= (idx >= lo) & (idx < hi)
+    asm_k = asm_k + adjust.astype(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        over = read_k / asm_k - 1.0
+        under = asm_k / read_k - 1.0
+    kstr = np.where(read_k == 0, -1.0, np.where(read_k > asm_k, over, under))
+    n_delta = np.abs(read_k - asm_k) * prob
+    return PathScore(num_m, kstr, o_delta - n_delta)
+
+
+def score_path_groups(
+    groups: list[list[VarPath]],
+    k: int,
+    lookup_read,
+    lookup_asm,
+    peak: float,
+    prob_table: ProbTable | None,
+    filter_mode: bool = False,
+) -> list[list[PathScore]]:
+    """Score paths of many clusters with ONE batched lookup dispatch.
+
+    lookup_* map a uint64 canonical-mer numpy array -> uint64 value array
+    (0 for absent); they may run on device (DeviceLookup) or host.
+    """
+    queries: list[np.ndarray] = []
+    metas: list[tuple[np.ndarray, np.ndarray]] = []  # (mult, valid) per path
+    for paths in groups:
+        for p in paths:
+            canon, mult, valid = path_kmer_query(p.seq, k)
+            queries.append(canon)
+            metas.append((mult, valid))
+
+    if queries:
+        flat = np.concatenate(queries)
+        read_flat = np.asarray(lookup_read(flat), dtype=np.uint64)
+        asm_flat = np.asarray(lookup_asm(flat), dtype=np.uint64)
+    else:
+        read_flat = asm_flat = np.zeros(0, np.uint64)
+
+    out: list[list[PathScore]] = []
+    off = 0
+    qi = 0
+    for paths in groups:
+        scores: list[PathScore] = []
+        for p in paths:
+            mult, valid = metas[qi]
+            n = mult.shape[0]
+            rv = read_flat[off : off + n] * mult
+            av = asm_flat[off : off + n] * mult
+            scores.append(
+                score_path_from_values(p, k, rv, av, valid, peak, prob_table, filter_mode)
+            )
+            off += n
+            qi += 1
+        out.append(scores)
+    return out
+
+
+def score_paths_np(
+    paths: list[VarPath],
+    k: int,
+    lookup_read,
+    lookup_asm,
+    peak: float,
+    prob_table: ProbTable | None,
+    filter_mode: bool = False,
+) -> list[PathScore]:
+    """Single-cluster convenience wrapper."""
+    return score_path_groups([paths], k, lookup_read, lookup_asm, peak,
+                             prob_table, filter_mode)[0]

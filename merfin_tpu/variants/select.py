@@ -1,0 +1,223 @@
+"""Per-cluster output selection — the five report policies.
+
+Reference: varMer.C:150-467 (bestFilter / bestVariant / betterVariant /
+strictPolish / loosePolish) and the record emitters varMer.C:469-550.
+All tie-break quirks are reproduced:
+
+  * bestFilter / bestVariant push zero-missing paths TWICE into the
+    candidate list (varMer.C:161-176,406-421: the `numM == 0` block and
+    the `numM == numMissing` block both fire), which routes a single
+    zero-missing path through the het branch of bestVariant — harmless
+    there (het of idx with itself emits the same 1/1 records) but load-
+    bearing for which paths the multimap sees first.
+  * bestVariant ranks tied paths with a multimap keyed by totdK but
+    compared with greater<int> (varMer.H:72): descending by the
+    INT-TRUNCATED totdK, insertion order preserved among equal ints.
+  * "all k-mers missing" test is `numM == len(seq) - k + 1` computed in
+    size_t arithmetic: paths shorter than k-1 never match (varMer.C:158).
+  * quals print as (int)-cast strings (varMer.C:486,537).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from merfin_tpu.io.vcf import PosGT
+from merfin_tpu.variants.enumerate import VarPath
+from merfin_tpu.variants.score import PathScore
+
+_U64 = 1 << 64
+
+
+def _all_missing(num_m: int, seq_len: int, k: int) -> bool:
+    """numM == (size_t)(len - k + 1) (varMer.C:158,408)."""
+    return num_m == (seq_len - k + 1) % _U64
+
+
+def _min_missing_idxs_filterlike(paths, scores, k) -> list[int]:
+    """The shared loop of bestFilter/bestVariant (with double-push quirk)."""
+    num_missing = 0xFFFFFFFF
+    idxs: list[int] = []
+    for ii, (p, s) in enumerate(zip(paths, scores)):
+        if _all_missing(s.num_m, len(p.seq), k):
+            continue
+        if s.num_m == 0:
+            idxs.append(ii)
+            num_missing = 0
+        if s.num_m < num_missing:
+            num_missing = s.num_m
+            idxs = [ii]
+        elif s.num_m == num_missing:
+            idxs.append(ii)
+    return idxs
+
+
+def best_filter(paths: list[VarPath], scores: list[PathScore], pos_gt: PosGT, k: int):
+    """-filter: union of ALT indices over min-missing paths; emit the
+    ORIGINAL input records (varMer.C:150-199)."""
+    idxs = _min_missing_idxs_filterlike(paths, scores, k)
+    if not idxs:
+        return []
+    gt_idxs = sorted({i for idx in idxs for i, g in enumerate(paths[idx].gt_path) if g > 0})
+    return [pos_gt.gts[i].record for i in gt_idxs]
+
+
+def get_hom_record(pos_gt: PosGT, gt_path: list[int]) -> str:
+    """varMer::getHomRecord (varMer.C:531-550)."""
+    records = ""
+    for i, alt_idx in enumerate(gt_path):
+        if alt_idx > 0:
+            gt = pos_gt.gts[i]
+            qual = str(int(gt.qual))     # (int) cast, truncates toward zero
+            records += (f"{pos_gt.chrom}\t{gt.pos + 1}\t.\t{gt.alleles[0]}\t"
+                        f"{gt.alleles[alt_idx]}\t{qual}\tPASS\t.\tGT\t1/1\n")
+    return records
+
+
+def get_het_record(pos_gt: PosGT, gt1: list[int], gt2: list[int]) -> str:
+    """varMer::getHetRecord (varMer.C:472-529)."""
+    records = ""
+    for i, (a1, a2) in enumerate(zip(gt1, gt2)):
+        if a1 + a2 > 0:
+            gt = pos_gt.gts[i]
+            qual = str(int(gt.qual))
+            head = f"{pos_gt.chrom}\t{gt.pos + 1}\t.\t{gt.alleles[0]}\t"
+            if a1 == a2:
+                records += head + f"{gt.alleles[a1]}\t{qual}\tPASS\t.\tGT\t1/1\n"
+            elif a1 == 0 and a2 > 0:
+                records += head + f"{gt.alleles[a2]}\t{qual}\tPASS\t.\tGT\t0/1\n"
+            elif a1 > 0 and a2 > 0:
+                records += head + f"{gt.alleles[a1]},{gt.alleles[a2]}\t{qual}\tPASS\t.\tGT\t1/2\n"
+            elif a1 > 0 and a2 == 0:
+                records += head + f"{gt.alleles[a1]}\t{qual}\tPASS\t.\tGT\t1/0\n"
+    return records
+
+
+def tot_dk(score: PathScore) -> float:
+    """getTotdK (varMer.C:648-659)."""
+    return float(np.sum(score.dkstr)) if score.dkstr.size else 0.0
+
+
+def best_variant(paths, scores, pos_gt: PosGT, k: int) -> str:
+    """-polish (varMer.C:400-467)."""
+    idxs = _min_missing_idxs_filterlike(paths, scores, k)
+    if not idxs:
+        return ""
+    if len(idxs) == 1:
+        return get_hom_record(pos_gt, paths[idxs[0]].gt_path)
+
+    # multimap<double,int,greater<int>>: descending by (int)totdK,
+    # insertion order preserved for equal int keys.
+    entries = [(tot_dk(scores[idx]), idx) for idx in idxs]
+    order = sorted(range(len(entries)), key=lambda i: int(entries[i][0]), reverse=True)
+    avg_k1, idx1 = entries[order[0]]
+    avg_k2, idx2 = entries[order[1]]
+
+    if avg_k1 == avg_k2:
+        if len(paths[idx1].seq) >= len(paths[idx2].seq):
+            return get_het_record(pos_gt, paths[idx1].gt_path, paths[idx2].gt_path)
+        return get_het_record(pos_gt, paths[idx2].gt_path, paths[idx1].gt_path)
+    return get_hom_record(pos_gt, paths[idx1].gt_path)
+
+
+def _min_missing_idxs_vs_ref(scores, include_neutral: bool) -> list[int]:
+    """Shared loop of betterVariant/strictPolish/loosePolish
+    (varMer.C:216-230,271-285,332-346)."""
+    if not scores:
+        return []
+    ref_missing = scores[0].num_m
+    num_missing = ref_missing
+    idxs: list[int] = []
+    for ii, s in enumerate(scores):
+        if s.num_m < num_missing:
+            num_missing = s.num_m
+            idxs = [ii]
+        elif s.num_m == num_missing and (
+            s.num_m <= ref_missing if include_neutral else s.num_m < ref_missing
+        ):
+            idxs.append(ii)
+    return idxs
+
+
+def _longest_of(paths, idxs: list[int]) -> int:
+    """Tie-break: longest sequence, first wins ties (varMer.C:246-254)."""
+    idx = idxs[0]
+    max_len = len(paths[idx].seq)
+    for ii in idxs[1:]:
+        if len(paths[ii].seq) > max_len:
+            max_len = len(paths[ii].seq)
+            idx = ii
+    return idx
+
+
+def better_variant(paths, scores, pos_gt: PosGT, k: int) -> str:
+    """-better (varMer.C:204-258)."""
+    if not scores:
+        return ""
+    idxs = _min_missing_idxs_vs_ref(scores, include_neutral=False)
+    if not idxs:
+        return ""
+    return get_hom_record(pos_gt, paths[_longest_of(paths, idxs)].gt_path)
+
+
+def strict_polish(paths, scores, pos_gt: PosGT, k: int) -> str:
+    """-strict (varMer.C:260-315) — identical logic to -better."""
+    return better_variant(paths, scores, pos_gt, k)
+
+
+def loose_polish(paths, scores, pos_gt: PosGT, k: int, log=sys.stderr) -> str:
+    """-loose (varMer.C:317-395): neutral paths included."""
+    if not scores:
+        return ""
+    idxs = _min_missing_idxs_vs_ref(scores, include_neutral=True)
+    if not idxs:
+        return ""
+    if len(idxs) == 1:
+        return get_hom_record(pos_gt, paths[idxs[0]].gt_path)
+    if idxs[0] == 0 and len(idxs) == 2:
+        return get_hom_record(pos_gt, paths[idxs[1]].gt_path)
+
+    max_vars = 0
+    max_idx = idxs[0]
+    for ii in idxs[1:]:
+        count = sum(1 for g in paths[ii].gt_path if g > 0)
+        if count > max_vars:
+            max_vars = count
+            max_idx = ii
+    rec = pos_gt.gts[0].record.save()
+    print(f"[ WARNING ] :: Multiple ({len(idxs)}) alternate pathes detected in a "
+          f"path beginning with variant : {rec}", end="", file=log)
+    print(f"[ WARNING ] :: Max. {max_vars} ALT variants selected", file=log)
+    return get_hom_record(pos_gt, paths[max_idx].gt_path)
+
+
+# ---- debug statistics (varMer.C:553-659) ----
+
+def min_abs_k(score: PathScore) -> float:
+    vals = score.kstr[score.kstr >= 0]
+    return float(vals.min()) if vals.size else -1.0
+
+
+def max_abs_k(score: PathScore) -> float:
+    """Max over ALL entries incl. -1 markers; -2 if empty (varMer.C:572-585)."""
+    return float(score.kstr.max()) if score.kstr.size else -2.0
+
+
+def avg_abs_k(score: PathScore) -> float:
+    n = score.kstr.size
+    if n == score.num_m:
+        return -1.0
+    s = float(score.kstr[score.kstr >= 0].sum())
+    return s / (n - score.num_m)
+
+
+def med_abs_k(score: PathScore) -> float:
+    """Median of non-negative entries, reference indexing (varMer.C:608-624)."""
+    kstr = np.sort(score.kstr)
+    i = int(np.searchsorted(kstr, 0.0, side="left"))
+    n = kstr.size
+    if i == n:
+        return -1.0
+    return float(kstr[i + (n - i) // 2])

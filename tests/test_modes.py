@@ -1,0 +1,130 @@
+"""End-to-end -hist / -dump / -completeness vs the oracle on tiny genomes."""
+
+import io
+import math
+import random
+
+import numpy as np
+import pytest
+
+from merfin_tpu.io.fasta import SeqFile
+from merfin_tpu.io.mkdb import KmerDB
+from merfin_tpu.modes.engine import KstarEngine, NBINS
+from merfin_tpu.modes.hist import run_hist
+from merfin_tpu.modes.dump import run_dump
+from merfin_tpu.modes.completeness import run_completeness
+from merfin_tpu.score.kstar import ProbTable
+from merfin_tpu.table.lookup import build_lookup
+from tests import refmodel
+from tests.util import db_from_dict, random_dna
+
+K = 9
+PEAK = 2.0
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("modes")
+    rng = random.Random(42)
+    # an "assembly" of 3 scaffolds incl. N runs, and "reads" = assembly
+    # plus extra copies of a segment plus novel sequence
+    scaf = [random_dna(rng, 400, with_n=0.01) for _ in range(3)]
+    reads = scaf + [scaf[0][100:300]] * 2 + [random_dna(rng, 150)]
+
+    read_counts = refmodel.count_canonical(reads, K)
+    asm_counts = refmodel.count_canonical(scaf, K)
+
+    read_db = db_from_dict(read_counts, K, str(tmp / "read"))
+    asm_db = db_from_dict(asm_counts, K, str(tmp / "asm"))
+
+    fasta = tmp / "asm.fasta"
+    with open(fasta, "w") as f:
+        for i, s in enumerate(scaf):
+            f.write(f">scaf{i} extra comment\n")
+            for j in range(0, len(s), 60):
+                f.write(s[j : j + 60] + "\n")
+
+    prob = ProbTable(np.asarray([1, 1, 2], np.uint32), np.asarray([0.9, 0.8, 0.7]))
+    return dict(tmp=tmp, scaf=scaf, reads=reads, read_counts=read_counts,
+                asm_counts=asm_counts, read_db=read_db, asm_db=asm_db,
+                fasta=str(fasta), prob=prob)
+
+
+def _engine(setup, prob=None, chunk=128):
+    rl = build_lookup(setup["read_db"])
+    al = build_lookup(setup["asm_db"])
+    return KstarEngine(rl, al, K, PEAK, prob_table=prob, chunk=chunk, batch=2)
+
+
+@pytest.mark.parametrize("use_prob", [False, True])
+def test_hist_matches_oracle(setup, tmp_path, use_prob):
+    prob = setup["prob"] if use_prob else None
+    engine = _engine(setup, prob=prob)
+    out = tmp_path / f"hist{use_prob}.txt"
+    log = io.StringIO()
+    res = run_hist(engine, SeqFile(setup["fasta"]), str(out), log=log)
+
+    ck = list(prob.copy_k) if prob else []
+    cp = list(prob.copy_p) if prob else []
+    seqs = [(f"scaf{i}", s) for i, s in enumerate(setup["scaf"])]
+    per_seq, undr, over, kasm, kmissing, kover = refmodel.hist_mode(
+        seqs, setup["read_counts"], setup["asm_counts"], K, PEAK, ck, cp)
+
+    assert res["kasm"] == kasm
+    assert res["missing"] == kmissing
+    assert math.isclose(res["kover_cpy"], kover, rel_tol=1e-12, abs_tol=1e-12)
+
+    # histogram file parity with the oracle bins
+    lines = out.read_text().splitlines()
+    expect = []
+    for ii in sorted(undr, reverse=True):
+        if ii > 0 and undr[ii] > 0:
+            expect.append(f"{ii * -0.2:.1f}\t{undr[ii]}")
+    expect.append(f"{0.0:.1f}\t{undr.get(0, 0) + over.get(0, 0)}")
+    for ii in sorted(over):
+        if ii > 0 and over[ii] > 0:
+            expect.append(f"{ii * 0.2:.1f}\t{over[ii]}")
+    assert lines == expect
+
+    # per-seq stderr lines
+    stderr = log.getvalue()
+    cum = 0
+    for (ident, _), (pkasm, pmiss, _) in zip(seqs, per_seq):
+        cum += pmiss
+        qv = refmodel.histo_qv(pmiss, pkasm, K)
+        assert f"{ident}\t{pmiss}\t{cum}\t{pkasm}\t{qv:.2f}" in stderr
+
+
+def test_dump_matches_oracle(setup, tmp_path):
+    engine = _engine(setup, chunk=64)
+    out = tmp_path / "dump.tsv"
+    log = io.StringIO()
+    run_dump(engine, SeqFile(setup["fasta"]), str(out), log=log)
+
+    seqs = [(f"scaf{i}", s) for i, s in enumerate(setup["scaf"])]
+    rows = refmodel.dump_mode(seqs, setup["read_counts"], setup["asm_counts"], K, PEAK)
+    expect = [f"{ident}\t{pos}\t{rk:.2f}\t{ak:.2f}\t{km:.2f}"
+              for ident, pos, rk, ak, km in rows]
+    assert out.read_text().splitlines() == expect
+
+
+def test_dump_skip_missing_writes_nothing(setup, tmp_path):
+    engine = _engine(setup)
+    out = tmp_path / "nodump.tsv"
+    run_dump(engine, SeqFile(setup["fasta"]), str(out), skip_missing=True,
+             log=io.StringIO())
+    assert not out.exists()
+
+
+@pytest.mark.parametrize("use_prob", [False, True])
+def test_completeness_matches_oracle(setup, use_prob):
+    prob = setup["prob"] if use_prob else None
+    res = run_completeness(setup["read_db"], setup["asm_db"], PEAK,
+                           prob_table=prob, log=io.StringIO(), block=1 << 12)
+    ck = list(prob.copy_k) if prob else []
+    cp = list(prob.copy_p) if prob else []
+    total, undrc, compl = refmodel.completeness_mode(
+        setup["read_counts"], setup["asm_counts"], PEAK, ck, cp)
+    assert math.isclose(res["total"], total, rel_tol=1e-12)
+    assert math.isclose(res["undrc"], undrc, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(res["completeness"], compl, rel_tol=1e-12)

@@ -1,0 +1,90 @@
+"""Sharded lookup + multichip hist step on the 8-device virtual CPU mesh:
+bit-identical to the single-device path."""
+
+import random
+
+import numpy as np
+import pytest
+
+from merfin_tpu.modes.engine import KstarEngine
+from merfin_tpu.ops.score_ops import prob_table_arrays
+from merfin_tpu.parallel.sharded import ShardedLookup, make_mesh, partition_rows
+from merfin_tpu.parallel.multichip import make_hist_step
+from merfin_tpu.table.lookup import build_lookup
+from merfin_tpu.kcore.pack import encode_bases
+from tests import refmodel
+from tests.util import db_from_dict, random_dna
+
+K = 9
+
+
+@pytest.fixture(scope="module")
+def dbs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sharded")
+    rng = random.Random(7)
+    scaf = [random_dna(rng, 500) for _ in range(2)]
+    reads = scaf * 3 + [random_dna(rng, 200)]
+    read_db = db_from_dict(refmodel.count_canonical(reads, K), K, str(tmp / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical(scaf, K), K, str(tmp / "a"))
+    return read_db, asm_db, scaf
+
+
+def test_partition_rows_roundtrip():
+    keys = np.sort(np.random.default_rng(0).choice(1000, size=37, replace=False)).astype(np.uint64)
+    vals = (np.arange(37) + 1).astype(np.uint32)
+    kk, vv = partition_rows(keys, vals, 4)
+    assert kk.shape == vv.shape and kk.shape[0] == 4
+    got_k = kk[kk != np.uint64(0xFFFFFFFFFFFFFFFF)]
+    np.testing.assert_array_equal(got_k, keys)
+
+
+def test_sharded_lookup_matches_host(dbs):
+    read_db, _, _ = dbs
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    sl = ShardedLookup.build(read_db, mesh)
+    hl = build_lookup(read_db, host=True)
+
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 1 << (2 * K), size=4096).astype(np.uint64)
+    q = np.concatenate([q, np.asarray(read_db.keys)])[:8192]
+    got = np.asarray(sl.lookup(jnp.asarray(q)))
+    np.testing.assert_array_equal(got.astype(np.uint64), hl(q))
+
+
+def test_multichip_hist_matches_single_device(dbs):
+    read_db, asm_db, scaf = dbs
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8, data=2)
+    assert mesh.shape == {"d": 2, "t": 4}
+    srl = ShardedLookup.build(read_db, mesh)
+    sal = ShardedLookup.build(asm_db, mesh)
+
+    copy_k, copy_p, tlen = prob_table_arrays(None)
+    peak = 3.0
+    step = make_hist_step(mesh, srl, sal, K, peak, copy_k, copy_p, tlen)
+
+    # one batch of 2 chunks (one per data shard) covering scaffold 0
+    chunk = 256
+    codes = encode_bases(scaf[0])
+    b = np.full((2, chunk + K - 1), 4, dtype=np.uint8)
+    b[0, :] = codes[: chunk + K - 1]
+    piece = codes[chunk : 2 * chunk + K - 1]
+    b[1, : piece.shape[0]] = piece
+    b_sharded = jax.device_put(b, NamedSharding(mesh, P("d", None)))
+
+    kasm, kmissing, kover, undr, over = step(b_sharded)
+
+    # single-device reference
+    engine = KstarEngine(build_lookup(read_db), build_lookup(asm_db), K, peak,
+                         chunk=chunk, batch=2)
+    kasm1, kmis1, kover1, undr1, over1, _ = engine._hist_step(b)
+
+    assert int(kasm) == int(kasm1)
+    assert int(kmissing) == int(kmis1)
+    assert float(kover) == pytest.approx(float(kover1), rel=1e-15)
+    np.testing.assert_array_equal(np.asarray(undr), np.asarray(undr1))
+    np.testing.assert_array_equal(np.asarray(over), np.asarray(over1))

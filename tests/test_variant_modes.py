@@ -1,0 +1,154 @@
+"""End-to-end variant modes: polishing picks true corrections; filter
+replays original records; output files match reference conventions."""
+
+import io
+import random
+
+import pytest
+
+from merfin_tpu.io.fasta import SeqFile
+from merfin_tpu.io.vcf import VcfFile
+from merfin_tpu.modes.variants import run_variants
+from merfin_tpu.table.lookup import build_lookup
+from tests import refmodel
+from tests.util import db_from_dict, random_dna
+
+K = 11
+ALT_OF = {"A": "C", "C": "G", "G": "T", "T": "A"}
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """A true genome, an assembly with 2 errors, and a VCF with 3 calls:
+    two true corrections and one spurious call."""
+    tmp = tmp_path_factory.mktemp("varmodes")
+    rng = random.Random(123)
+    true_genome = random_dna(rng, 600)
+
+    err_pos = [150, 400]       # substitution errors in the assembly
+    spurious_pos = 250
+    asm = list(true_genome)
+    for p in err_pos:
+        asm[p] = ALT_OF[asm[p]]
+    asm = "".join(asm)
+
+    reads = [true_genome] * 30  # 30x perfect coverage
+    read_counts = refmodel.count_canonical(reads, K)
+    asm_counts = refmodel.count_canonical([asm], K)
+
+    read_db = db_from_dict(read_counts, K, str(tmp / "read"))
+    asm_db = db_from_dict(asm_counts, K, str(tmp / "asm"))
+
+    fasta = tmp / "asm.fasta"
+    fasta.write_text(">chr1\n" + asm + "\n")
+
+    # VCF: corrections at err_pos (ALT = true base), spurious at 250
+    rows = []
+    for p in err_pos:
+        rows.append((p + 1, asm[p], true_genome[p], 40.7))
+    rows.append((spurious_pos + 1, asm[spurious_pos],
+                 ALT_OF[asm[spurious_pos]], 13.2))
+    rows.sort()
+    vcf = tmp / "calls.vcf"
+    body = "".join(
+        f"chr1\t{pos}\t.\t{ref}\t{alt}\t{q}\tPASS\t.\tGT\t1/1\n"
+        for pos, ref, alt, q in rows
+    )
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n##contig=<ID=chr1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n" + body
+    )
+    return dict(tmp=tmp, fasta=str(fasta), vcf=str(vcf), read_db=read_db,
+                asm_db=asm_db, err_pos=err_pos, spurious_pos=spurious_pos,
+                asm=asm, true_genome=true_genome, rows=rows)
+
+
+def _run(world, mode, tmp_path, debug=False):
+    vcf = VcfFile(world["vcf"], log=io.StringIO())
+    vcf.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+    out = tmp_path / f"out_{mode}"
+    run_variants(
+        mode, SeqFile(world["fasta"]), vcf, K, rl.lookup_np, al.lookup_np,
+        peak=30.0, prob_table=None, out_name=str(out), debug=debug,
+        log=io.StringIO(),
+    )
+    suffix = "polish" if mode == "polish" else "filter"
+    path = out.parent / f"{out.name}.{suffix}.vcf"
+    lines = path.read_text().splitlines()
+    headers = [l for l in lines if l.startswith("#")]
+    recs = [l for l in lines if not l.startswith("#")]
+    return headers, recs
+
+
+@pytest.mark.parametrize("mode", ["polish", "better", "strict", "loose"])
+def test_polishing_selects_true_corrections(world, tmp_path, mode):
+    headers, recs = _run(world, mode, tmp_path)
+    assert len(headers) == 3
+    got_pos = sorted(int(r.split("\t")[1]) for r in recs)
+    assert got_pos == sorted(p + 1 for p in world["err_pos"])
+    for r in recs:
+        f = r.split("\t")
+        pos = int(f[1]) - 1
+        assert f[3] == world["asm"][pos]          # REF = assembly base
+        assert f[4] == world["true_genome"][pos]  # ALT = true base
+        assert f[6] == "PASS" and f[9] == "1/1"
+        assert f[5] == "40"                       # int-cast qual (40.7 -> 40)
+
+
+def test_filter_replays_original_records(world, tmp_path):
+    headers, recs = _run(world, "filter", tmp_path)
+    # -filter keeps records whose application reduces missing k-mers:
+    # the two true corrections, with ORIGINAL record text (qual %.1f)
+    expected = [
+        f"chr1\t{pos}\t.\t{ref}\t{alt}\t{q:.1f}\tPASS\t.\tGT\t1/1"
+        for pos, ref, alt, q in world["rows"]
+        if pos - 1 in world["err_pos"]
+    ]
+    assert recs == expected
+
+
+def test_debug_log_written(world, tmp_path):
+    vcf = VcfFile(world["vcf"], log=io.StringIO())
+    vcf.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+    out = tmp_path / "dbg"
+    run_variants(
+        "polish", SeqFile(world["fasta"]), vcf, K, rl.lookup_np, al.lookup_np,
+        peak=30.0, prob_table=None, out_name=str(out), debug=True,
+        log=io.StringIO(),
+    )
+    import gzip
+
+    dbg = tmp_path / "dbg.00.debug.gz"
+    assert dbg.exists()
+    with gzip.open(dbg, "rt") as f:
+        lines = f.read().splitlines()
+    # 3 clusters x 2 paths (ref + alt) = 6 candidate lines, ids 0..5
+    assert len(lines) == 6
+    assert [int(l.split("\t")[0]) for l in lines] == list(range(6))
+    # each line has the 10 tab-separated scoring fields
+    for l in lines:
+        assert len(l.split("\t")) >= 10
+
+
+def test_nonexistent_chrom_vcf_makes_empty_output(world, tmp_path):
+    vcf_path = tmp_path / "other.vcf"
+    vcf_path.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "chrX\t10\t.\tA\tT\t5\tPASS\t.\tGT\t1/1\n"
+    )
+    vcf = VcfFile(str(vcf_path), log=io.StringIO())
+    vcf.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+    out = tmp_path / "empty"
+    run_variants(
+        "polish", SeqFile(world["fasta"]), vcf, K, rl.lookup_np, al.lookup_np,
+        peak=30.0, prob_table=None, out_name=str(out), log=io.StringIO(),
+    )
+    # headers-only output (file IS opened for the first sequence)
+    lines = (tmp_path / "empty.polish.vcf").read_text().splitlines()
+    assert all(l.startswith("#") for l in lines) and len(lines) == 2
