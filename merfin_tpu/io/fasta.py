@@ -46,11 +46,42 @@ class Sequence:
         return self.bases[start:end]
 
 
+@dataclasses.dataclass
+class CodedSequence:
+    """A sequence already in 2-bit code form (native fast path)."""
+
+    ident: str
+    _codes: np.ndarray
+
+    @property
+    def length(self) -> int:
+        return int(self._codes.shape[0])
+
+    def codes(self) -> np.ndarray:
+        return self._codes
+
+
 class SeqFile:
     """Streaming FASTA/FASTQ reader (gz/bz2/xz transparent)."""
 
     def __init__(self, path: str):
         self.path = path
+
+    def iter_coded(self):
+        """Yield sequences with .ident/.codes() — via the native C++
+        parser (merfin_tpu/native) when available, else pure Python."""
+        from merfin_tpu import native
+
+        with open_read(self.path) as f:
+            data = f.read()
+        parsed = native.parse_seqs(data) if data[:1] in (b">", b"@") else None
+        if parsed is not None:
+            names, codes, offsets = parsed
+            for i, name in enumerate(names):
+                yield CodedSequence(name, codes[offsets[i] : offsets[i + 1]])
+            return
+        for seq in self._parse(b"", _Buf(data)):
+            yield seq
 
     def __iter__(self) -> Iterator[Sequence]:
         with open_read(self.path) as f:
@@ -73,6 +104,14 @@ class SeqFile:
             yield from _parse_fastq(data)
         else:
             raise ValueError(f"{self.path}: not FASTA or FASTQ")
+
+
+class _Buf:
+    def __init__(self, data: bytes):
+        self._data = data
+
+    def read(self) -> bytes:
+        return self._data
 
 
 def _parse_fasta(data: bytes) -> Iterator[Sequence]:

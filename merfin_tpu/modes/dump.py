@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import sys
 
-from merfin_tpu.io.compressed import open_write_text
 from merfin_tpu.io.fasta import SeqFile
 from merfin_tpu.modes.engine import KstarEngine
 
@@ -30,25 +29,35 @@ def run_dump(
     g_kasm = 0
     out = None
 
+    from merfin_tpu import native
+    from merfin_tpu.io.compressed import open_write
+
     try:
-        for seq in seq_file:
+        for seq in seq_file.iter_coded():
             print(f"Processing sequence {seq.ident} for dumping", file=log)
             seq_missing = 0
-            rows = []
+            rows: list[bytes] = []
             for start, rk, ak, km, kasm, kmis in engine.dump_sequence(seq.codes()):
                 g_kasm += kasm
                 seq_missing += kmis
                 if skip_missing:
                     continue
-                for off in range(rk.shape[0]):
-                    r, a, m = rk[off], ak[off], km[off]
-                    if r != 0.0 or a != 0.0 or m != 0.0:
-                        rows.append(f"{seq.ident}\t{start + off}\t{r:.2f}\t{a:.2f}\t{m:.2f}\n")
+                block = native.format_dump_rows(seq.ident, start, rk, ak, km)
+                if block is None:           # pure-Python fallback
+                    parts = []
+                    for off in range(rk.shape[0]):
+                        r, a, m = rk[off], ak[off], km[off]
+                        if r != 0.0 or a != 0.0 or m != 0.0:
+                            parts.append(
+                                f"{seq.ident}\t{start + off}\t{r:.2f}\t{a:.2f}\t{m:.2f}\n")
+                    block = "".join(parts).encode("ascii")
+                rows.append(block)
             print(f"Output sequence {seq.ident}", file=log)
             if not skip_missing:
                 if out is None:
-                    out = open_write_text(out_name)
-                out.writelines(rows)
+                    out = open_write(out_name)
+                for block in rows:
+                    out.write(block)
             g_missing += seq_missing
             print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}", file=log)
     finally:

@@ -28,7 +28,7 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     g_undr = np.zeros(NBINS, dtype=np.int64)
     g_over = np.zeros(NBINS, dtype=np.int64)
 
-    for seq in seq_file:
+    for seq in seq_file.iter_coded():
         print(f"Processing sequence {seq.ident} for histogram", file=log)
         stats, undr, over = engine.hist_sequence(seq.codes())
         print(f"Output sequence {seq.ident}", file=log)

@@ -1,0 +1,107 @@
+"""ctypes bindings for the native host data plane (fastio.cpp).
+
+Auto-builds the shared library with g++ on first use when missing;
+falls back to None (callers use the pure-Python path) if no compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libmerfin_native.so")
+
+_lib = None
+_tried = False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR], check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.mt_parse_seqs.restype = ctypes.c_int64
+    lib.mt_parse_seqs.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.mt_parse_names.restype = ctypes.c_int64
+    lib.mt_parse_names.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.mt_format_dump_rows.restype = ctypes.c_int64
+    lib.mt_format_dump_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def parse_seqs(data: bytes):
+    """Native FASTA/FASTQ parse: (names, codes uint8, offsets int64) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    codes = np.empty(max(n, 1), dtype=np.uint8)
+    max_seqs = max(16, data.count(b"\n") + 2)
+    offsets = np.zeros(max_seqs + 1, dtype=np.int64)
+    nseq = lib.mt_parse_seqs(
+        data, n,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_seqs,
+    )
+    if nseq < 0:
+        return None
+    name_buf = ctypes.create_string_buffer(n + 16)
+    nn = lib.mt_parse_names(data, n, name_buf, n + 16)
+    if nn != nseq:
+        return None
+    names = name_buf.raw.split(b"\0")[:nseq]
+    return ([x.decode("ascii") for x in names], codes, offsets[: nseq + 1])
+
+
+def format_dump_rows(ident: str, start: int, read_k, asm_k, km) -> bytes | None:
+    """Native %.2f dump-row formatting; None when the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    read_k = np.ascontiguousarray(read_k, dtype=np.float64)
+    asm_k = np.ascontiguousarray(asm_k, dtype=np.float64)
+    km = np.ascontiguousarray(km, dtype=np.float64)
+    n = read_k.shape[0]
+    cap = (len(ident) + 64) * max(n, 1) + 64
+    out = ctypes.create_string_buffer(cap)
+    w = lib.mt_format_dump_rows(
+        ident.encode("ascii"), start,
+        read_k.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        asm_k.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        km.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, out, cap,
+    )
+    if w < 0:
+        return None
+    return out.raw[:w]
