@@ -141,6 +141,12 @@ def _usage() -> None:
     )
 
 
+def _db_max(db) -> int:
+    import numpy as np
+
+    return int(np.asarray(db.vals).max()) if db.distinct else 1
+
+
 def run(cfg: MerfinConfig) -> int:
     """Load DBs and dispatch the report — main() (merfin.C:358-430)."""
     ensure_x64()
@@ -210,7 +216,8 @@ def run(cfg: MerfinConfig) -> int:
         from merfin_tpu.modes.hist import run_hist
 
         print(f"-- Generate histogram of the k* metric to '{cfg.out_name}'.", file=log)
-        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob)
+        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
+                             max_value=_db_max(read_db))
         run_hist(engine, seq_file, cfg.out_name, log=log)
 
     elif cfg.report_type == "dump":
@@ -218,7 +225,8 @@ def run(cfg: MerfinConfig) -> int:
         from merfin_tpu.modes.dump import run_dump
 
         print(f"-- Dump per-base k* metric to '{cfg.out_name}'.", file=log)
-        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob)
+        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
+                             max_value=_db_max(read_db))
         run_dump(engine, seq_file, cfg.out_name, skip_missing=cfg.skip_missing, log=log)
 
     else:

@@ -20,7 +20,6 @@ import numpy as np
 
 from merfin_tpu.config import ensure_x64
 from merfin_tpu.io.mkdb import KmerDB, SLICES
-from merfin_tpu.ops.score_ops import get_k_jnp, prob_table_arrays
 from merfin_tpu.score.kstar import ProbTable
 
 
@@ -36,7 +35,10 @@ def run_completeness(
     import jax
     import jax.numpy as jnp
 
-    copy_k, copy_p, table_len = prob_table_arrays(prob_table)
+    from merfin_tpu.score.value_map import ValueMap
+
+    max_v = int(np.asarray(read_db.vals).max()) if read_db.distinct else 1
+    vmap = ValueMap(peak, prob_table, max_v)
 
     @jax.jit
     def slice_stats(read_keys, read_vals, read_mask, asm_keys, asm_vals):
@@ -44,10 +46,8 @@ def run_completeness(
         idx_c = jnp.minimum(idx, asm_keys.shape[0] - 1)
         hit = asm_keys[idx_c] == read_keys
         asm_v = jnp.where(hit, asm_vals[idx_c], jnp.uint32(0))
-        read_k, asm_k, _ = get_k_jnp(
-            read_vals.astype(jnp.uint64), asm_v.astype(jnp.uint64),
-            peak, copy_k, copy_p, table_len,
-        )
+        read_k, _, _ = vmap.lookup_jnp(read_vals.astype(jnp.uint64))
+        asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(read_mask, read_k, 0.0)
         asm_k = jnp.where(read_mask, asm_k, 0.0)
         total = jnp.sum(read_k)

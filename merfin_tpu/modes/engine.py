@@ -20,7 +20,7 @@ import numpy as np
 
 from merfin_tpu.config import ensure_x64
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
-from merfin_tpu.ops.score_ops import get_k_jnp, k_metric_jnp, prob_table_arrays
+from merfin_tpu.ops.score_ops import k_metric_jnp
 from merfin_tpu.score.kstar import ProbTable
 
 NBINS = 1 << 14          # k* histogram bins per side (ratio up to ~3277)
@@ -44,9 +44,12 @@ class KstarEngine:
         prob_table: ProbTable | None = None,
         chunk: int = 1 << 19,
         batch: int = 4,
+        max_value: int | None = None,
     ):
         ensure_x64()
         import jax
+
+        from merfin_tpu.score.value_map import ValueMap
 
         self.read_lookup = read_lookup
         self.asm_lookup = asm_lookup
@@ -54,7 +57,10 @@ class KstarEngine:
         self.peak = float(peak)
         self.chunk = chunk
         self.batch = batch
-        self.copy_k, self.copy_p, self.table_len = prob_table_arrays(prob_table)
+        # getK evaluated exactly on host per raw value (TPU f64 is ~48-bit;
+        # see merfin_tpu/score/value_map.py)
+        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
+        self.overflow_values = 0
 
         self._hist_step = jax.jit(self._hist_chunk)
         self._dump_step = jax.jit(self._dump_chunk)
@@ -62,19 +68,18 @@ class KstarEngine:
     # ---- device programs ----
 
     def _lookup_kvals(self, codes):
-        """codes [..., C + k - 1] -> (readK, asmK, prob, valid) [..., C]."""
+        """codes [..., C + k - 1] -> (readK, asmK, prob, valid, overflow)."""
+        import jax.numpy as jnp
+
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
         read_v = self.read_lookup.lookup(canon).astype(np.uint64) * mult
         asm_v = self.asm_lookup.lookup(canon).astype(np.uint64) * mult
-        read_k, asm_k, prob = get_k_jnp(
-            read_v, asm_v, self.peak, self.copy_k, self.copy_p, self.table_len
-        )
-        import jax.numpy as jnp
-
+        read_k, prob, overflow = self.value_map.lookup_jnp(read_v)
+        asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid, read_k, 0.0)
         asm_k = jnp.where(valid, asm_k, 0.0)
-        return read_k, asm_k, prob, valid
+        return read_k, asm_k, prob, valid, overflow
 
     def _hist_chunk(self, codes):
         """codes uint8 [B, C + k - 1] -> per-batch reduced hist stats.
@@ -87,7 +92,7 @@ class KstarEngine:
         """
         import jax.numpy as jnp
 
-        read_k, asm_k, prob, valid = self._lookup_kvals(codes)
+        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(codes)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
@@ -111,7 +116,7 @@ class KstarEngine:
 
         undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
         over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
-        return kasm, kmissing, kover, undr_hist, over_hist, max_idx
+        return kasm, kmissing, kover, undr_hist, over_hist, max_idx, overflow
 
     def _dump_chunk(self, codes):
         """codes uint8 [C + k - 1] -> per-position readK/asmK/K* + counts.
@@ -120,11 +125,11 @@ class KstarEngine:
         """
         import jax.numpy as jnp
 
-        read_k, asm_k, prob, valid = self._lookup_kvals(codes)
+        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(codes)
         kasm = jnp.sum(valid)
         kmissing = jnp.sum(valid & (read_k == 0))
         kmetric = jnp.where(valid, k_metric_jnp(read_k, asm_k), 0.0)
-        return read_k, asm_k, kmetric, kasm, kmissing
+        return read_k, asm_k, kmetric, kasm, kmissing, overflow
 
     # ---- host streaming ----
 
@@ -160,7 +165,8 @@ class KstarEngine:
         return stats, undr, over
 
     def _hist_apply(self, codes, stats: SeqStats, undr, over) -> None:
-        kasm, kmissing, kover, uh, oh, max_idx = self._hist_step(codes)
+        kasm, kmissing, kover, uh, oh, max_idx, overflow = self._hist_step(codes)
+        self.overflow_values += int(overflow)
         if int(max_idx) >= NBINS:
             raise RuntimeError(
                 f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
@@ -178,7 +184,8 @@ class KstarEngine:
             return
         n_pos = codes.shape[0] - self.k + 1
         for start, buf in self.chunks_of(codes):
-            rk, ak, km, kasm, kmis = self._dump_step(buf)
+            rk, ak, km, kasm, kmis, overflow = self._dump_step(buf)
+            self.overflow_values += int(overflow)
             n = min(self.chunk, n_pos - start)
             yield (
                 start,

@@ -18,7 +18,6 @@ import numpy as np
 
 from merfin_tpu.modes.engine import NBINS
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
-from merfin_tpu.ops.score_ops import get_k_jnp
 from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
 
 
@@ -27,18 +26,21 @@ def make_hist_step(
     read_lookup: ShardedLookup,
     asm_lookup: ShardedLookup,
     k: int,
-    peak: float,
-    copy_k,
-    copy_p,
-    table_len: int,
+    value_map,
 ):
     """Build a jitted step: codes uint8 [B, C + k - 1] (B sharded over
     "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS]).
+
+    value_map: merfin_tpu.score.value_map.ValueMap — getK precomputed on
+    the host (exact) and gathered on device.
     """
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
+
+    vcap = value_map.vcap
+    rk_host, pr_host = value_map.read_k_host, value_map.prob_host
 
     @partial(
         shard_map,
@@ -46,20 +48,24 @@ def make_hist_step(
         in_specs=(
             P("t", None), P("t", None),   # read table shard
             P("t", None), P("t", None),   # asm table shard
+            P(), P(),                     # value map (replicated)
             P("d", None),                 # codes: chunk batch sharded on d
         ),
         out_specs=(P(), P(), P(), P(), P()),
     )
-    def step(rk_keys, rk_vals, as_keys, as_vals, codes):
+    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map, codes):
         fmer, rmer, valid = kmer_windows(codes, k)
         canon, mult = canonical_and_mult(fmer, rmer)
 
         read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
         asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
-        read_v = read_v.astype(jnp.uint64) * mult
+        read_v = (read_v.astype(jnp.uint64) * mult).astype(jnp.int64)
         asm_v = asm_v.astype(jnp.uint64) * mult
 
-        read_k, asm_k, prob = get_k_jnp(read_v, asm_v, peak, copy_k, copy_p, table_len)
+        idx = jnp.minimum(read_v, vcap)
+        read_k = rk_map[idx]
+        prob = pr_map[idx]
+        asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid, read_k, 0.0)
         asm_k = jnp.where(valid, asm_k, 0.0)
 
@@ -91,13 +97,15 @@ def make_hist_step(
         over_hist = jax.lax.psum(over_hist, "d")
         return kasm, kmissing, kover, undr_hist, over_hist
 
+    rk_dev = jnp.asarray(rk_host)
+    pr_dev = jnp.asarray(pr_host)
+
     def run(codes):
         return step(
             read_lookup.keys, read_lookup.vals,
             asm_lookup.keys, asm_lookup.vals,
+            rk_dev, pr_dev,
             codes,
         )
-
-    import jax
 
     return jax.jit(run)

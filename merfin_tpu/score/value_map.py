@@ -1,0 +1,70 @@
+"""Host-precomputed getK value map — exact readK/prob per raw DB value.
+
+TPU f64 is emulated at ~48-bit precision (float32 pairs): device
+division like round(v/peak) can land on the wrong side of a half-way
+boundary (measured: 11/4.4 -> 2.4999... on TPU vs exactly 2.5 IEEE).
+merfin's readK is boundary-sensitive (merfin-globals.C:84-97), so the
+whole v -> (readK, prob) function is evaluated ONCE on the host with
+exact IEEE semantics for every possible raw value and shipped to the
+device as gather tables.  Raw DB values are integers (kmvalu), so this
+is exact — and it also deletes the division/rounding from the device
+hot path entirely.
+
+readK values are integers <= 2^32 and survive the 48-bit device storage
+exactly; prob may lose ~1 ulp on device (it only enters smooth sums).
+Values above the cap (possible only via palindrome doubling beyond the
+largest DB count) fall back to a device-side computation and are counted
+so callers can warn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from merfin_tpu.score.kstar import ProbTable, get_k_np
+
+
+class ValueMap:
+    """Gather tables: raw read-DB value -> (readK, prob)."""
+
+    def __init__(self, peak: float, prob_table: ProbTable | None,
+                 max_value: int, hard_cap: int = 1 << 22):
+        self.peak = float(peak)
+        # fmer+rmer palindrome doubling can reach 2 * max DB value
+        self.vcap = int(min(max(2 * max_value, 2), hard_cap))
+        v = np.arange(self.vcap + 1, dtype=np.uint64)
+        read_k, _, prob = get_k_np(v, np.zeros_like(v), peak, prob_table)
+        self.read_k_host = read_k          # float64, integer-valued (or inf)
+        self.prob_host = prob
+
+    def device_arrays(self):
+        """(read_k[vcap+1] f64, prob[vcap+1] f64) as jnp arrays.
+
+        No caching: this is called both eagerly and under jit traces
+        (where the result would be a leaked tracer if cached).
+        """
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.read_k_host), jnp.asarray(self.prob_host)
+
+    def lookup_jnp(self, seq_value):
+        """Device getK via gather: (readK, prob, overflow_count).
+
+        seq_value: uint64 raw values (already fmer+rmer summed).
+        Values above vcap use the (non-exact on TPU) float fallback.
+        """
+        import jax.numpy as jnp
+
+        rk_map, pr_map = self.device_arrays()
+        v = seq_value.astype(jnp.int64)
+        over = v > self.vcap
+        idx = jnp.minimum(v, self.vcap)
+        read_k = rk_map[idx]
+        prob = pr_map[idx]
+        if self.peak != 0:
+            fb = jnp.floor(v.astype(jnp.float64) / self.peak + 0.5)
+        else:
+            fb = jnp.where(v > 0, jnp.inf, 0.0)
+        read_k = jnp.where(over, fb, read_k)
+        prob = jnp.where(over, 1.0, prob)
+        return read_k, prob, jnp.sum(over)

@@ -63,9 +63,11 @@ def test_multichip_hist_matches_single_device(dbs):
     srl = ShardedLookup.build(read_db, mesh)
     sal = ShardedLookup.build(asm_db, mesh)
 
-    copy_k, copy_p, tlen = prob_table_arrays(None)
+    from merfin_tpu.score.value_map import ValueMap
+
     peak = 3.0
-    step = make_hist_step(mesh, srl, sal, K, peak, copy_k, copy_p, tlen)
+    vmap = ValueMap(peak, None, int(np.asarray(read_db.vals).max()))
+    step = make_hist_step(mesh, srl, sal, K, vmap)
 
     # one batch of 2 chunks (one per data shard) covering scaffold 0
     chunk = 256
@@ -81,7 +83,7 @@ def test_multichip_hist_matches_single_device(dbs):
     # single-device reference
     engine = KstarEngine(build_lookup(read_db), build_lookup(asm_db), K, peak,
                          chunk=chunk, batch=2)
-    kasm1, kmis1, kover1, undr1, over1, _ = engine._hist_step(b)
+    kasm1, kmis1, kover1, undr1, over1, _, _ = engine._hist_step(b)
 
     assert int(kasm) == int(kasm1)
     assert int(kmissing) == int(kmis1)
