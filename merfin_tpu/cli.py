@@ -89,6 +89,8 @@ def merfin_main(argv: list[str]) -> int:
                 cfg.comb = int(nextarg())
             elif a == "-debug":
                 cfg.debug = True
+            elif a == "-resume":
+                cfg.resume = True
             elif a in mode_flags:
                 if a == "-loose":
                     print("*EXPERIMENTAL* Running in -loose mode", file=sys.stderr)
@@ -218,7 +220,7 @@ def run(cfg: MerfinConfig) -> int:
         print(f"-- Generate histogram of the k* metric to '{cfg.out_name}'.", file=log)
         engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
                              max_value=_db_max(read_db))
-        run_hist(engine, seq_file, cfg.out_name, log=log)
+        run_hist(engine, seq_file, cfg.out_name, log=log, resume=cfg.resume)
 
     elif cfg.report_type == "dump":
         from merfin_tpu.modes.engine import KstarEngine
@@ -227,7 +229,8 @@ def run(cfg: MerfinConfig) -> int:
         print(f"-- Dump per-base k* metric to '{cfg.out_name}'.", file=log)
         engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
                              max_value=_db_max(read_db))
-        run_dump(engine, seq_file, cfg.out_name, skip_missing=cfg.skip_missing, log=log)
+        run_dump(engine, seq_file, cfg.out_name, skip_missing=cfg.skip_missing,
+                 log=log, resume=cfg.resume)
 
     else:
         from merfin_tpu.io.vcf import VcfFile
@@ -244,6 +247,7 @@ def run(cfg: MerfinConfig) -> int:
             cfg.report_type, seq_file, vcf, k,
             read_lookup.lookup_np, asm_lookup.lookup_np,
             cfg.peak, prob, cfg.out_name, comb=cfg.comb, debug=cfg.debug, log=log,
+            resume=cfg.resume,
         )
 
     print("Bye!", file=log)

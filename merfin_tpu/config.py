@@ -54,6 +54,7 @@ class MerfinConfig:
     nosplit: bool = False                # -nosplit
     comb: int = 15                       # -comb   (merfin-globals.H:241)
     debug: bool = False                  # -debug
+    resume: bool = False                 # -resume (extension: sequence-level checkpoint/restart)
     skip_missing: bool = False           # -skipMissing
 
     # report type: one of hist|completeness|dump|filter|polish|better|strict|loose

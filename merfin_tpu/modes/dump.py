@@ -8,14 +8,21 @@ Parity targets (merfin-dump.C:72-104):
     (the last two columns are CUMULATIVE, unlike -hist),
   * sequences emit in input order (the reference forces in-order output
     for dump, merfin.C:384).
+
+Row formatting uses the native C++ formatter when available.  The output
+stream is written one sequence at a time in append mode — for .gz
+outputs each sequence is its own gzip member (readers see one stream),
+which makes per-sequence checkpoint/resume byte-exact.
 """
 
 from __future__ import annotations
 
+import gzip
 import sys
 
 from merfin_tpu.io.fasta import SeqFile
 from merfin_tpu.modes.engine import KstarEngine
+from merfin_tpu.utils.checkpoint import Checkpoint, truncate_to
 
 
 def run_dump(
@@ -24,19 +31,34 @@ def run_dump(
     out_name: str,
     skip_missing: bool = False,
     log=sys.stderr,
+    resume: bool = False,
 ):
+    from merfin_tpu import native
+
     g_missing = 0
     g_kasm = 0
     out = None
 
-    from merfin_tpu import native
-    from merfin_tpu.io.compressed import open_write
+    ckpt = Checkpoint(out_name, "dump", enabled=resume)
+    skip = 0
+    if resume and (st := ckpt.load()) is not None:
+        skip = st["seqs_done"]
+        g_missing = st["accum"]["missing"]
+        g_kasm = st["accum"]["kasm"]
+        if not skip_missing:
+            truncate_to(out_name, st["output_offset"])
+        print(f"-- Resuming after {skip} sequences.", file=log)
 
+    is_gz = out_name is not None and out_name.endswith(".gz")
+    seq_idx = 0
     try:
         for seq in seq_file.iter_coded():
+            seq_idx += 1
+            if seq_idx <= skip:
+                continue
             print(f"Processing sequence {seq.ident} for dumping", file=log)
             seq_missing = 0
-            rows: list[bytes] = []
+            blocks: list[bytes] = []
             for start, rk, ak, km, kasm, kmis in engine.dump_sequence(seq.codes()):
                 g_kasm += kasm
                 seq_missing += kmis
@@ -51,17 +73,25 @@ def run_dump(
                             parts.append(
                                 f"{seq.ident}\t{start + off}\t{r:.2f}\t{a:.2f}\t{m:.2f}\n")
                     block = "".join(parts).encode("ascii")
-                rows.append(block)
+                blocks.append(block)
             print(f"Output sequence {seq.ident}", file=log)
+            offset = 0
             if not skip_missing:
                 if out is None:
-                    out = open_write(out_name)
-                for block in rows:
-                    out.write(block)
+                    mode = "ab" if (resume and skip) else "wb"
+                    out = open(out_name, mode)
+                data = b"".join(blocks)
+                if is_gz:
+                    data = gzip.compress(data, compresslevel=1)
+                out.write(data)
+                out.flush()
+                offset = out.tell()
             g_missing += seq_missing
             print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}", file=log)
+            ckpt.save(seq_idx, offset, {"missing": g_missing, "kasm": g_kasm})
     finally:
         if out is not None:
             out.close()
 
+    ckpt.done()
     return {"missing": g_missing, "kasm": g_kasm}

@@ -20,7 +20,10 @@ from merfin_tpu.modes.engine import KstarEngine, NBINS
 from merfin_tpu.score.kstar import histo_qv
 
 
-def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stderr):
+def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stderr,
+             resume: bool = False):
+    from merfin_tpu.utils.checkpoint import Checkpoint
+
     k = engine.k
     g_missing = 0
     g_kasm = 0
@@ -28,7 +31,21 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     g_undr = np.zeros(NBINS, dtype=np.int64)
     g_over = np.zeros(NBINS, dtype=np.int64)
 
+    ckpt = Checkpoint(out_name, "hist", enabled=resume)
+    skip = 0
+    if resume and (st := ckpt.load()) is not None:
+        skip = st["seqs_done"]
+        a = st["accum"]
+        g_missing, g_kasm, g_kover = a["missing"], a["kasm"], a["kover"]
+        g_undr[: len(a["undr"])] = a["undr"]
+        g_over[: len(a["over"])] = a["over"]
+        print(f"-- Resuming after {skip} sequences.", file=log)
+
+    seq_idx = 0
     for seq in seq_file.iter_coded():
+        seq_idx += 1
+        if seq_idx <= skip:
+            continue
         print(f"Processing sequence {seq.ident} for histogram", file=log)
         stats, undr, over = engine.hist_sequence(seq.codes())
         print(f"Output sequence {seq.ident}", file=log)
@@ -42,6 +59,13 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
         qv = histo_qv(stats.kmissing, stats.kasm, k)
         print(f"{seq.ident}\t{stats.kmissing}\t{g_missing}\t{stats.kasm}\t{qv:.2f}",
               file=log)
+
+        nz_u = int(np.max(np.nonzero(g_undr)[0])) + 1 if g_undr.any() else 0
+        nz_o = int(np.max(np.nonzero(g_over)[0])) + 1 if g_over.any() else 0
+        ckpt.save(seq_idx, 0, {
+            "missing": g_missing, "kasm": g_kasm, "kover": g_kover,
+            "undr": g_undr[:nz_u].tolist(), "over": g_over[:nz_o].tolist(),
+        })
 
     # histogram file (reportHistogram, merfin-histogram.C:141-163)
     with open_write_text(out_name) as f:
@@ -63,6 +87,7 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     print("*** Missing QV only considers missing kmers as errors. Merfin QV* includes overrepresented kmers. ***\n", file=log)
     print("*** When the lookup table is provided, missing QV includes weighted low frequency kmers, otherwise it is identical to Merqury QV. ***\n", file=log)
 
+    ckpt.done()
     return {
         "missing": g_missing,
         "kasm": g_kasm,

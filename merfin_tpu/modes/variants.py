@@ -127,30 +127,51 @@ def run_variants(
     debug: bool = False,
     log=sys.stderr,
     query_budget: int = 1 << 23,
+    resume: bool = False,
 ):
+    from merfin_tpu.utils.checkpoint import Checkpoint, truncate_to
+
     assert mode in ("filter", "polish", "better", "strict", "loose")
     filter_mode = mode == "filter"
 
     suffix = "polish" if mode == "polish" else "filter"
+    out_path = f"{out_name}.{suffix}.vcf"
     out = None  # lazily opened, like outputVariants (merfin-variants.C:321)
     dbg = DebugWriter(out_name) if debug else None
+
+    # Checkpoint/resume at the sequence boundary (not combinable with
+    # -debug: the per-thread debug gz stream is not offset-restartable).
+    ckpt = Checkpoint(out_name, f"variants-{mode}", enabled=resume and not debug)
+    skip = 0
+    if resume and not debug and (st := ckpt.load()) is not None:
+        skip = st["seqs_done"]
+        truncate_to(out_path, st["output_offset"])
+        print(f"-- Resuming after {skip} sequences.", file=log)
 
     def ensure_out():
         nonlocal out
         if out is None:
-            out = open_write_text(f"{out_name}.{suffix}.vcf")
-            for h in vcf.headers:
-                out.write(h + "\n")
+            if skip > 0:
+                out = open(out_path, "ab")
+            else:
+                out = open(out_path, "wb")
+                for h in vcf.headers:
+                    out.write(h.encode() + b"\n")
         return out
 
     n_selected = 0
+    seq_idx = 0
     for seq in seq_file:
+        seq_idx += 1
+        if seq_idx <= skip:
+            continue
         # The reference's writer opens the output (headers included) for
         # the first sequence regardless of whether it has any variants
         # (outputVariants runs per sequence, merfin-variants.C:313-341).
         ensure_out()
         clusters = vcf.by_chrom.get(seq.ident)
         if clusters is None:
+            ckpt.save(seq_idx, out.tell(), {})
             continue
         print(f"Processing sequence {seq.ident} for variants", file=log)
 
@@ -199,10 +220,14 @@ def run_variants(
 
         text = "".join(result_parts)
         n_selected += text.count("\n")
-        ensure_out().write(text)
+        f = ensure_out()
+        f.write(text.encode())
+        f.flush()
+        ckpt.save(seq_idx, f.tell(), {})
 
     if out is not None:
         out.close()
     if dbg is not None:
         dbg.close()
+    ckpt.done()
     return {"records": n_selected}

@@ -1,0 +1,67 @@
+"""Checkpoint / resume at the per-sequence boundary.
+
+The reference's only resume machinery is file-existence guards in its
+Slurm scripts (scripts/parallel1/merfin.sh:55-108: whole array-task
+granularity).  Here every mode driver can checkpoint after each
+sequence: a sidecar `<out>.ckpt.json` records the number of sequences
+completed, the byte offset of the (text) output stream, and the mode's
+accumulator state.  Resume truncates the output to the recorded offset
+(dropping any partial tail) and restores the accumulators, so a killed
+run continues exactly where it left off.
+
+The checkpoint write is atomic (tmp + rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+
+class Checkpoint:
+    def __init__(self, out_name: str, mode: str, enabled: bool = True):
+        self.path = f"{out_name}.ckpt.json" if out_name else None
+        self.mode = mode
+        self.enabled = enabled and self.path is not None
+        self.state: dict[str, Any] | None = None
+
+    def load(self) -> dict[str, Any] | None:
+        """State from a previous run of the same mode, if any."""
+        if not self.enabled or not os.path.exists(self.path):
+            return None
+        try:
+            with open(self.path) as f:
+                st = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if st.get("mode") != self.mode:
+            return None
+        self.state = st
+        return st
+
+    def save(self, seqs_done: int, output_offset: int, accum: dict[str, Any]) -> None:
+        if not self.enabled:
+            return
+        st = {
+            "mode": self.mode,
+            "seqs_done": seqs_done,
+            "output_offset": output_offset,
+            "accum": accum,
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self.path)
+
+    def done(self) -> None:
+        """Remove the checkpoint on successful completion."""
+        if self.enabled and os.path.exists(self.path):
+            os.remove(self.path)
+
+
+def truncate_to(path: str, offset: int) -> None:
+    """Drop any partially-written tail beyond the checkpointed offset."""
+    if os.path.exists(path) and offset >= 0:
+        with open(path, "rb+") as f:
+            f.truncate(offset)
