@@ -91,6 +91,8 @@ def merfin_main(argv: list[str]) -> int:
                 cfg.debug = True
             elif a == "-resume":
                 cfg.resume = True
+            elif a == "-mesh":
+                cfg.mesh = nextarg()
             elif a in mode_flags:
                 if a == "-loose":
                     print("*EXPERIMENTAL* Running in -loose mode", file=sys.stderr)
@@ -214,12 +216,30 @@ def run(cfg: MerfinConfig) -> int:
     seq_file = SeqFile(cfg.seq_name)
 
     if cfg.report_type == "hist":
-        from merfin_tpu.modes.engine import KstarEngine
         from merfin_tpu.modes.hist import run_hist
 
         print(f"-- Generate histogram of the k* metric to '{cfg.out_name}'.", file=log)
-        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
-                             max_value=_db_max(read_db))
+        if cfg.mesh:
+            import numpy as _np
+            import jax as _jax
+            from jax.sharding import Mesh as _Mesh
+
+            from merfin_tpu.parallel.engine import ShardedKstarEngine
+            from merfin_tpu.parallel.sharded import ShardedLookup
+
+            d, t = (int(x) for x in cfg.mesh.lower().split("x"))
+            mesh = _Mesh(_np.asarray(_jax.devices()[: d * t]).reshape(d, t), ("d", "t"))
+            print(f"-- Sharding tables over a {d}x{t} device mesh.", file=log)
+            engine = ShardedKstarEngine(
+                mesh,
+                ShardedLookup.build(read_db, mesh, min_v=cfg.min_v, max_v=cfg.max_v),
+                ShardedLookup.build(asm_db, mesh),
+                k, cfg.peak, prob_table=prob, max_value=_db_max(read_db))
+        else:
+            from merfin_tpu.modes.engine import KstarEngine
+
+            engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
+                                 max_value=_db_max(read_db))
         run_hist(engine, seq_file, cfg.out_name, log=log, resume=cfg.resume)
 
     elif cfg.report_type == "dump":

@@ -55,6 +55,7 @@ class MerfinConfig:
     comb: int = 15                       # -comb   (merfin-globals.H:241)
     debug: bool = False                  # -debug
     resume: bool = False                 # -resume (extension: sequence-level checkpoint/restart)
+    mesh: str | None = None              # -mesh DxT (extension: shard tables over a device mesh)
     skip_missing: bool = False           # -skipMissing
 
     # report type: one of hist|completeness|dump|filter|polish|better|strict|loose
