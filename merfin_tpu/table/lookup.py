@@ -51,9 +51,27 @@ def _pick_bucket_bits(n: int, k: int) -> int:
 
 
 class DeviceLookup:
-    """Sorted-array + prefix-bucket exact lookup, resident in device HBM."""
+    """Sorted-array + prefix-bucket exact lookup, resident in device HBM.
 
-    def __init__(self, keys: np.ndarray, vals: np.ndarray, k: int, device=None):
+    Hot-path strategy ("windowed"): one scalar gather of the bucket
+    offset, one W-wide contiguous slice-gather of candidate keys, an
+    equality compare across the window, and one scalar value gather.
+    Measured on v5e, wide slice-gathers cost barely more than scalar
+    gathers, so this is ~3x fewer HBM round-trips than a binary search
+    (which pays a full random-gather latency per step).  Bucket bits are
+    grown until every bucket fits in the window; pathological skew falls
+    back to the iterative binary-search path.
+
+    Correctness note: candidates for query q all live in [off[b],
+    off[b+1]) where b is q's prefix; entries outside that range have a
+    different prefix and can never compare equal, so an equality-only
+    window test needs no span check (clipped windows included).
+    """
+
+    WINDOW = 32
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray, k: int, device=None,
+                 window: int | None = None):
         ensure_x64()
         import jax
         import jax.numpy as jnp
@@ -63,22 +81,44 @@ class DeviceLookup:
         assert keys.shape == vals.shape
         self.k = int(k)
         self.n = int(keys.size)
-        self.bits = _pick_bucket_bits(self.n, self.k)
-        self.shift = 2 * self.k - self.bits
+        self.window = int(window or self.WINDOW)
 
-        prefixes = (keys >> np.uint64(self.shift)).astype(np.int64)
-        offsets = np.searchsorted(
-            prefixes, np.arange((1 << self.bits) + 1, dtype=np.int64)
-        ).astype(np.int32)
-        max_bucket = int(np.max(offsets[1:] - offsets[:-1])) if self.n else 0
-        self.search_iters = max(1, math.ceil(math.log2(max_bucket + 1))) if max_bucket else 0
+        bits = _pick_bucket_bits(self.n, self.k)
+        prefixes = (keys >> np.uint64(max(0, 2 * self.k - bits))).astype(np.int64)
+        offsets, max_bucket = self._build_offsets(prefixes, bits)
+        # grow the bucket index until buckets fit the gather window
+        while max_bucket > self.window and bits < min(26, 2 * self.k):
+            bits += 1
+            prefixes = (keys >> np.uint64(max(0, 2 * self.k - bits))).astype(np.int64)
+            offsets, max_bucket = self._build_offsets(prefixes, bits)
+        self.bits = bits
+        self.shift = max(0, 2 * self.k - bits)
+        self.windowed = max_bucket <= self.window
+        self.search_iters = (
+            max(1, math.ceil(math.log2(max_bucket + 1))) if max_bucket else 0
+        )
 
         self._jit_lookup = None
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
         # Pad so clipped gathers stay in-bounds even for an empty table.
-        self.keys = put(keys if self.n else np.zeros(1, np.uint64))
-        self.vals = put(vals if self.n else np.zeros(1, np.uint32))
+        pad = max(1, self.window)
+        if self.n:
+            keys_p = np.concatenate([keys, np.zeros(pad, np.uint64)])
+            vals_p = np.concatenate([vals, np.zeros(pad, np.uint32)])
+        else:
+            keys_p = np.zeros(pad, np.uint64)
+            vals_p = np.zeros(pad, np.uint32)
+        self.keys = put(keys_p)
+        self.vals = put(vals_p)
         self.offsets = put(offsets)
+
+    @staticmethod
+    def _build_offsets(prefixes: np.ndarray, bits: int):
+        offsets = np.searchsorted(
+            prefixes, np.arange((1 << bits) + 1, dtype=np.int64)
+        ).astype(np.int32)
+        max_bucket = int(np.max(offsets[1:] - offsets[:-1])) if prefixes.size else 0
+        return offsets, max_bucket
 
     def memory_bytes(self) -> int:
         return self.n * 12 + ((1 << self.bits) + 1) * 4
@@ -112,14 +152,31 @@ class DeviceLookup:
         import jax
         import jax.numpy as jnp
 
-        if self.n == 0 or self.search_iters == 0:
-            # A table with <=1 distinct bucket entry still needs the probe
-            # when n == 1; handle the truly empty case cheaply.
-            if self.n == 0:
-                return jnp.zeros(q.shape, dtype=jnp.uint32)
+        if self.n == 0:
+            return jnp.zeros(q.shape, dtype=jnp.uint32)
 
         qs = q.reshape(-1)
         b = (qs >> np.uint64(self.shift)).astype(jnp.int32)
+
+        if self.windowed:
+            base = self.offsets[b]
+            win = jax.lax.gather(
+                self.keys,
+                base[:, None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(),
+                    start_index_map=(0,),
+                ),
+                slice_sizes=(self.window,),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )
+            match = win == qs[:, None]
+            found = jnp.any(match, axis=1)
+            pos = jnp.argmax(match, axis=1).astype(jnp.int32)
+            idx = jnp.minimum(base + pos, self.n + self.window - 1)
+            out = jnp.where(found, self.vals[idx], jnp.uint32(0))
+            return out.reshape(q.shape)
+
         lo = self.offsets[b]
         hi = self.offsets[b + 1]
 
