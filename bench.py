@@ -22,18 +22,26 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     from merfin_tpu.config import ensure_x64
 
     ensure_x64()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MERFIN_TPU_CACHE", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     import jax.numpy as jnp
 
     from merfin_tpu.table.lookup import DeviceLookup
 
     k = 21
-    n_table = 1 << 25          # 33.5M distinct k-mers (~400 MB on device)
-    n_query = 1 << 24          # 16.7M queries per dispatch
+    n_table = 1 << int(os.environ.get("BENCH_LOG_TABLE", 25))
+    n_query = 1 << int(os.environ.get("BENCH_LOG_QUERY", 24))
     rng = np.random.default_rng(0)
 
     keys = np.unique(rng.integers(0, 1 << (2 * k), size=n_table).astype(np.uint64))
