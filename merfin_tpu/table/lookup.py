@@ -68,10 +68,11 @@ class DeviceLookup:
     window test needs no span check (clipped windows included).
     """
 
-    WINDOW = 32
+    WINDOW = 16          # block width; lookups fetch 2 adjacent blocks
+    STRATEGY = "block"   # "block" | "slice" | "bsearch"
 
     def __init__(self, keys: np.ndarray, vals: np.ndarray, k: int, device=None,
-                 window: int | None = None):
+                 window: int | None = None, strategy: str | None = None):
         ensure_x64()
         import jax
         import jax.numpy as jnp
@@ -82,34 +83,45 @@ class DeviceLookup:
         self.k = int(k)
         self.n = int(keys.size)
         self.window = int(window or self.WINDOW)
+        self.strategy = strategy or self.STRATEGY
 
         bits = _pick_bucket_bits(self.n, self.k)
         prefixes = (keys >> np.uint64(max(0, 2 * self.k - bits))).astype(np.int64)
         offsets, max_bucket = self._build_offsets(prefixes, bits)
-        # grow the bucket index until buckets fit the gather window
-        while max_bucket > self.window and bits < min(26, 2 * self.k):
+        # grow the bucket index until buckets fit a small number of blocks
+        while max_bucket > 2 * self.window and bits < min(24, 2 * self.k):
             bits += 1
             prefixes = (keys >> np.uint64(max(0, 2 * self.k - bits))).astype(np.int64)
             offsets, max_bucket = self._build_offsets(prefixes, bits)
         self.bits = bits
         self.shift = max(0, 2 * self.k - bits)
-        self.windowed = max_bucket <= self.window
+        # rows to fetch so W*R >= (W-1) + max_bucket (worst alignment)
+        self.rows = max(2, -(-(max_bucket + self.window - 1) // self.window))
+        self.windowed = self.rows <= 4
+        if not self.windowed:
+            self.strategy = "bsearch"
         self.search_iters = (
             max(1, math.ceil(math.log2(max_bucket + 1))) if max_bucket else 0
         )
 
         self._jit_lookup = None
         put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
-        # Pad so clipped gathers stay in-bounds even for an empty table.
-        pad = max(1, self.window)
+        # Pad so clipped/overhanging gathers stay in-bounds (pad keys are 0,
+        # whose prefix can only be queried by prefix-0 mers at the array
+        # START, so they never produce false hits; a true q==0 hit sums its
+        # real value + zeros).
+        W = max(1, self.window)
+        pad_to = ((self.n + W - 1) // W + 4) * W   # spare blocks for row fetch
+        keys_p = np.zeros(pad_to, np.uint64)
+        vals_p = np.zeros(pad_to, np.uint32)
         if self.n:
-            keys_p = np.concatenate([keys, np.zeros(pad, np.uint64)])
-            vals_p = np.concatenate([vals, np.zeros(pad, np.uint32)])
-        else:
-            keys_p = np.zeros(pad, np.uint64)
-            vals_p = np.zeros(pad, np.uint32)
+            keys_p[: self.n] = keys
+            vals_p[: self.n] = vals
         self.keys = put(keys_p)
         self.vals = put(vals_p)
+        self.keys2d = put(keys_p.reshape(-1, W))
+        self.vals2d = put(vals_p.reshape(-1, W))
+        self.nblocks = pad_to // W
         self.offsets = put(offsets)
 
     @staticmethod
@@ -158,7 +170,20 @@ class DeviceLookup:
         qs = q.reshape(-1)
         b = (qs >> np.uint64(self.shift)).astype(jnp.int32)
 
-        if self.windowed:
+        if self.strategy == "block":
+            # A bucket spans at most `rows` consecutive window-wide blocks
+            # (sized at build); fetch them and equality-select.
+            base = self.offsets[b]
+            r = jnp.minimum(base // self.window, self.nblocks - self.rows)
+            rows = r[:, None] + jnp.arange(self.rows, dtype=jnp.int32)[None, :]
+            kwin = jnp.take(self.keys2d, rows, axis=0)        # [M, R, W]
+            vwin = jnp.take(self.vals2d, rows, axis=0)
+            match = kwin == qs[:, None, None]
+            out = jnp.sum(jnp.where(match, vwin, jnp.uint32(0)), axis=(1, 2),
+                          dtype=jnp.uint32)
+            return out.reshape(q.shape)
+
+        if self.strategy == "slice":
             base = self.offsets[b]
             win = jax.lax.gather(
                 self.keys,
@@ -173,7 +198,7 @@ class DeviceLookup:
             match = win == qs[:, None]
             found = jnp.any(match, axis=1)
             pos = jnp.argmax(match, axis=1).astype(jnp.int32)
-            idx = jnp.minimum(base + pos, self.n + self.window - 1)
+            idx = jnp.minimum(base + pos, self.keys.shape[0] - 1)
             out = jnp.where(found, self.vals[idx], jnp.uint32(0))
             return out.reshape(q.shape)
 

@@ -52,16 +52,24 @@ def test_host_lookup_matches_dict(small_db):
     np.testing.assert_array_equal(got, np.asarray(expect, dtype=np.uint64))
 
 
-def test_device_lookup_matches_host(small_db):
+@pytest.mark.parametrize("strategy", ["block", "slice", "bsearch"])
+def test_device_lookup_matches_host(small_db, strategy):
     db, counts, k, _ = small_db
     hl = build_lookup(db, host=True)
-    dl = build_lookup(db)
+    dl = DeviceLookup(np.asarray(db.keys), np.asarray(db.vals), k,
+                      strategy=strategy)
     assert isinstance(dl, DeviceLookup)
     rng = np.random.default_rng(0)
     q = rng.integers(0, 1 << (2 * k), size=5000).astype(np.uint64)
     # include every present key too
     q = np.concatenate([q, np.asarray(db.keys)])
     np.testing.assert_array_equal(dl.lookup_np(q), hl(q))
+
+
+def test_default_lookup_is_block(small_db):
+    db, _, _, _ = small_db
+    dl = build_lookup(db)
+    assert dl.strategy == "block" and dl.windowed
 
 
 def test_min_max_filtering(small_db):
