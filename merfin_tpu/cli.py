@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import sys
 
-from merfin_tpu.config import MerfinConfig, ensure_x64
+from merfin_tpu.config import MerfinConfig, ensure_x64, setup_runtime
 
 _U64MAX = 2**64 - 1
 
@@ -153,7 +153,7 @@ def _db_max(db) -> int:
 
 def run(cfg: MerfinConfig) -> int:
     """Load DBs and dispatch the report — main() (merfin.C:358-430)."""
-    ensure_x64()
+    setup_runtime()
 
     from merfin_tpu.io.mkdb import KmerDB, is_mkdb
     from merfin_tpu.io.prob import load_prob_table

@@ -19,6 +19,25 @@ def ensure_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+def setup_runtime() -> None:
+    """Full runtime config: x64 + persistent compilation cache.
+
+    The compile path to the TPU in this environment is slow (remote
+    tunnel); the persistent cache makes repeated runs start in seconds.
+    """
+    import jax
+
+    ensure_x64()
+    cache = os.environ.get("MERFIN_TPU_CACHE", os.path.expanduser("~/.jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except (OSError, AttributeError):
+        pass
+
+
 # Maximum k supported with single-word uint64 keys: 2k <= 62 so that keys
 # stay positive in int64 contexts as well.  The reference supports larger k
 # through meryl's multi-word kmers; k in practice is 21 (README.md:33).
