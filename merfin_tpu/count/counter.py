@@ -125,22 +125,46 @@ def count_sequences(
         except Exception as e:  # pragma: no cover - device unavailable
             print(f"count: device path unavailable ({e}); using numpy", file=log)
 
-    pad = np.full(k - 1, 4, dtype=np.uint8)
+    # Pack sequences into fixed-size chunks with k-1 invalid separators so
+    # that windows never span two sequences — one device dispatch per full
+    # chunk regardless of read length (a per-read dispatch would be 10^6
+    # host round-trips for a read set).
+    buf = np.full(chunk + k - 1, 4, dtype=np.uint8)
+    fill = 0
+
+    def flush():
+        nonlocal fill
+        if fill == 0:
+            return
+        if step is not None:
+            keys, vals = _chunk_canonical_counts_device(buf, k, step)
+        else:
+            keys, vals = _chunk_canonical_counts_np(buf[: fill], k)
+        acc.add(keys, vals)
+        buf[:] = 4
+        fill = 0
+
     for seq in seqs:
         codes = seq.codes()
-        if codes.shape[0] < k:
+        n = codes.shape[0]
+        if n < k:
             continue
-        for lo in range(0, codes.shape[0] - k + 1, chunk):
-            piece = codes[lo : lo + chunk + k - 1]
-            if step is not None:
-                if piece.shape[0] < chunk + k - 1:
-                    piece = np.concatenate(
-                        [piece, np.full(chunk + k - 1 - piece.shape[0], 4, np.uint8)]
-                    )
-                keys, vals = _chunk_canonical_counts_device(piece, k, step)
-            else:
-                keys, vals = _chunk_canonical_counts_np(piece, k)
-            acc.add(keys, vals)
+        pos = 0
+        while pos < n:
+            if fill >= chunk:   # keep >= k codes of space before writing
+                flush()
+            space = chunk + k - 1 - fill
+            take = min(n - pos, space)
+            buf[fill : fill + take] = codes[pos : pos + take]
+            fill += take
+            if pos + take >= n:
+                # end of sequence: leave a k-1 separator gap
+                fill = min(fill + k - 1, chunk + k - 1)
+                break
+            # continue the same sequence in the next chunk with k-1 overlap
+            flush()
+            pos += take - (k - 1)
+    flush()
     return acc.result()
 
 
@@ -155,7 +179,7 @@ def count_files(
     """Count k-mers of FASTA/FASTQ files into a new MKDB."""
     def all_seqs():
         for p in paths:
-            yield from SeqFile(p)
+            yield from SeqFile(p).iter_coded()
 
     keys, vals, total = count_sequences(all_seqs(), k, chunk=chunk,
                                         use_device=use_device, log=log)

@@ -1,32 +1,35 @@
 """Pallas sorted-join exact lookup kernel.
 
-Random HBM gathers on TPU are issue-rate-bound (~10M/s measured via
-XLA's gather for any strategy — bench notes in docs/PERF.md).  This
-kernel replaces them with sequential streaming: queries are SORTED, so
-each block of QB queries covers one contiguous table window, which is
-DMA-streamed through VMEM in SEG-entry segments and joined by equality
-compare + masked sum — no gathers anywhere.  Keys are u32 hi/lo planes
-(TPU Pallas has no 64-bit vectors).
+Random HBM gathers on TPU are issue-rate-bound (~10M lookups/s measured
+through every XLA gather strategy — see docs/PERF.md).  This kernel
+replaces them with sequential streaming: queries are SORTED, so each
+block of QB queries covers one contiguous table window, which is DMA-
+streamed through VMEM in SEG-entry segments and joined by an equality
+compare + masked sum — no gathers anywhere.  Keys travel as u32 hi/lo
+planes (no 64-bit vectors on TPU).
 
-Contract: `sorted_join_lookup(keys, vals, q_sorted)` == exact-match
-values (0 absent), for SORTED q.  Callers that only reduce (hist,
-completeness, count) skip unsorting entirely.
+Layout notes (Mosaic constraints):
+  * queries are stored [g, QB, 1] so a block is a (QB, 1) column —
+    broadcasting against a (1, 128) window chunk gives the all-pairs
+    (QB, 128) compare without any in-kernel transpose;
+  * table planes are [rows, 128] 2-D so segment DMAs are row-aligned.
 
-Block windows are computed with one small searchsorted over the block
-boundary keys (G+1 probes, not M).
+Contract: lookup_sorted(q) == exact-match values (0 where absent) for a
+SORTED uint64 query array.  Reduction-style consumers (hist,
+completeness, count) never need to unsort.
 """
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
-QB = 1024       # queries per grid block
-SEG = 2048      # table entries per DMA segment
+QB = 1024        # queries per grid block
+SEG = 2048       # table entries per DMA segment
+LANES = 128
+SEG_ROWS = SEG // LANES
 
 
-def _kernel(win_lo_ref, win_seg_ref, q_hi_ref, q_lo_ref,
+def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
             t_hi_ref, t_lo_ref, t_v_ref, out_ref,
             w_hi, w_lo, w_v, sem):
     import jax
@@ -35,19 +38,20 @@ def _kernel(win_lo_ref, win_seg_ref, q_hi_ref, q_lo_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    lo = win_lo_ref[i]
+    row0 = win_row_ref[i]
     n_seg = win_seg_ref[i]
 
-    q_hi = q_hi_ref[0, :].reshape(QB, 1)
-    q_lo = q_lo_ref[0, :].reshape(QB, 1)
-
-    out_ref[0, :] = jnp.zeros((QB,), dtype=jnp.uint32)
+    q_hi = q_hi_ref[0]        # (QB, 1)
+    q_lo = q_lo_ref[0]
 
     def seg_body(s, acc):
-        start = lo + s * SEG
-        cp_hi = pltpu.make_async_copy(t_hi_ref.at[pl.ds(start, SEG)], w_hi, sem.at[0])
-        cp_lo = pltpu.make_async_copy(t_lo_ref.at[pl.ds(start, SEG)], w_lo, sem.at[1])
-        cp_v = pltpu.make_async_copy(t_v_ref.at[pl.ds(start, SEG)], w_v, sem.at[2])
+        r = row0 + s * SEG_ROWS
+        cp_hi = pltpu.make_async_copy(
+            t_hi_ref.at[pl.ds(r, SEG_ROWS), :], w_hi, sem.at[0])
+        cp_lo = pltpu.make_async_copy(
+            t_lo_ref.at[pl.ds(r, SEG_ROWS), :], w_lo, sem.at[1])
+        cp_v = pltpu.make_async_copy(
+            t_v_ref.at[pl.ds(r, SEG_ROWS), :], w_v, sem.at[2])
         cp_hi.start()
         cp_lo.start()
         cp_v.start()
@@ -56,20 +60,20 @@ def _kernel(win_lo_ref, win_seg_ref, q_hi_ref, q_lo_ref,
         cp_v.wait()
 
         def chunk_body(c, acc):
-            wh = w_hi[pl.ds(c * 128, 128)].reshape(1, 128)
-            wl = w_lo[pl.ds(c * 128, 128)].reshape(1, 128)
-            wv = w_v[pl.ds(c * 128, 128)].reshape(1, 128)
-            eq = (q_hi == wh) & (q_lo == wl)
-            return acc + jnp.sum(
-                jnp.where(eq, wv, jnp.uint32(0)), axis=1, dtype=jnp.uint32
-            )
+            wh = w_hi[pl.ds(c, 1), :]        # (1, LANES)
+            wl = w_lo[pl.ds(c, 1), :]
+            wv = w_v[pl.ds(c, 1), :]
+            eq = (q_hi == wh) & (q_lo == wl)             # (QB, LANES)
+            # Mosaic can't reduce unsigned ints; accumulate as int32
+            hit = jnp.where(eq, wv.astype(jnp.int32), jnp.int32(0))
+            return acc + jnp.sum(hit, axis=1, keepdims=True, dtype=jnp.int32)
 
-        return jax.lax.fori_loop(0, SEG // 128, chunk_body, acc)
+        return jax.lax.fori_loop(0, SEG_ROWS, chunk_body, acc)
 
     acc = jax.lax.fori_loop(
-        0, n_seg, seg_body, jnp.zeros((QB,), dtype=jnp.uint32)
+        0, n_seg, seg_body, jnp.zeros((QB, 1), dtype=jnp.int32)
     )
-    out_ref[0, :] = acc
+    out_ref[0] = acc.astype(jnp.uint32)
 
 
 class SortJoinTable:
@@ -90,68 +94,69 @@ class SortJoinTable:
         hi[: self.n] = (keys >> np.uint64(32)).astype(np.uint32)
         lo[: self.n] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         v[: self.n] = vals
-        self.t_hi = jnp.asarray(hi)
-        self.t_lo = jnp.asarray(lo)
-        self.t_v = jnp.asarray(v)
+        self.t_hi = jnp.asarray(hi.reshape(-1, LANES))
+        self.t_lo = jnp.asarray(lo.reshape(-1, LANES))
+        self.t_v = jnp.asarray(v.reshape(-1, LANES))
         self.keys_u64 = jnp.asarray(keys)   # for block-bound searchsorted
         self.pad = pad
+        self.pad_rows = pad // LANES
 
-    def lookup_sorted(self, q_sorted):
+    def lookup_sorted(self, q):
         """Values for a SORTED uint64 query array (len multiple of QB)."""
-        return _lookup_sorted(self, q_sorted)
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
+        m = q.shape[0]
+        assert m % QB == 0, "query length must be a multiple of QB"
+        g = m // QB
 
-@functools.partial(lambda f: f)
-def _lookup_sorted(table: SortJoinTable, q):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+        # block windows: [lo_i, hi_i) table ranges per query block
+        bounds_q = jnp.concatenate([q[::QB], q[-1:]])
+        pos = jnp.searchsorted(self.keys_u64, bounds_q)
+        pos_hi = jnp.searchsorted(self.keys_u64, bounds_q[1:], side="right")
+        win_lo = pos[:-1].astype(jnp.int32)
+        win_hi = pos_hi.astype(jnp.int32)
+        # segment-align; clamp into the padded planes (row units)
+        win_row = jnp.minimum((win_lo // SEG) * SEG_ROWS,
+                              self.pad_rows - SEG_ROWS)
+        win_seg = jnp.maximum(
+            (win_hi - (win_row // SEG_ROWS) * SEG + SEG - 1) // SEG, 1
+        ).astype(jnp.int32)
+        win_seg = jnp.minimum(win_seg, (self.pad_rows - win_row) // SEG_ROWS)
 
-    m = q.shape[0]
-    assert m % QB == 0, "query length must be a multiple of QB"
-    g = m // QB
+        q_hi = (q >> np.uint64(32)).astype(jnp.uint32).reshape(g, QB, 1)
+        q_lo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(g, QB, 1)
 
-    # block windows: [lo_i, hi_i) table ranges per query block
-    bounds_q = jnp.concatenate([q[::QB], q[-1:]])
-    pos = jnp.searchsorted(table.keys_u64, bounds_q)
-    pos_hi = jnp.searchsorted(table.keys_u64, bounds_q[1:], side="right")
-    win_lo = pos[:-1].astype(jnp.int32)
-    win_hi = pos_hi.astype(jnp.int32)
-    # segment-align the window; clamp into the padded array
-    win_lo = jnp.minimum((win_lo // SEG) * SEG, table.pad - SEG)
-    win_seg = jnp.maximum((win_hi - win_lo + SEG - 1) // SEG, 1).astype(jnp.int32)
-    win_seg = jnp.minimum(win_seg, (table.pad - win_lo) // SEG)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, QB, 1), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, QB, 1), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, QB, 1), lambda i, *_: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((SEG_ROWS, LANES), jnp.uint32),
+                pltpu.VMEM((SEG_ROWS, LANES), jnp.uint32),
+                pltpu.VMEM((SEG_ROWS, LANES), jnp.uint32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
 
-    q_hi = (q >> np.uint64(32)).astype(jnp.uint32).reshape(g, QB)
-    q_lo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(g, QB)
+        import jax
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, QB), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, QB), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, QB), lambda i, *_: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((SEG,), jnp.uint32),
-            pltpu.VMEM((SEG,), jnp.uint32),
-            pltpu.VMEM((SEG,), jnp.uint32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((g, QB), jnp.uint32),
-        grid_spec=grid_spec,
-        interpret=_interpret_mode(),
-    )(win_lo, win_seg, q_hi, q_lo, table.t_hi, table.t_lo, table.t_v)
-    return out.reshape(-1)
+        out = pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct((g, QB, 1), jnp.uint32),
+            grid_spec=grid_spec,
+            interpret=_interpret_mode(),
+        )(win_row, win_seg, q_hi, q_lo, self.t_hi, self.t_lo, self.t_v)
+        return out.reshape(-1)
 
 
 def _interpret_mode() -> bool:
