@@ -45,6 +45,7 @@ class KstarEngine:
         chunk: int = 1 << 19,
         batch: int = 4,
         max_value: int | None = None,
+        sortjoin: bool = False,
     ):
         ensure_x64()
         import jax
@@ -61,6 +62,21 @@ class KstarEngine:
         # see merfin_tpu/score/value_map.py)
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
         self.overflow_values = 0
+
+        # The gather-free sorted-join path (Pallas) — odd k only: even-k
+        # palindromic mers need the fmer+rmer doubling, which cannot ride
+        # a key-only device sort.
+        self.sortjoin = bool(sortjoin) and (k % 2 == 1)
+        if self.sortjoin:
+            from merfin_tpu.ops.join_kernel import SortJoinTable, QB
+
+            assert (self.chunk * self.batch) % QB == 0
+            self._sj_read = SortJoinTable(
+                np.asarray(read_lookup.keys)[: read_lookup.n],
+                np.asarray(read_lookup.vals)[: read_lookup.n], k)
+            self._sj_asm = SortJoinTable(
+                np.asarray(asm_lookup.keys)[: asm_lookup.n],
+                np.asarray(asm_lookup.vals)[: asm_lookup.n], k)
 
         self._hist_step = jax.jit(self._hist_chunk)
         self._dump_step = jax.jit(self._dump_chunk)
@@ -81,6 +97,26 @@ class KstarEngine:
         asm_k = jnp.where(valid, asm_k, 0.0)
         return read_k, asm_k, prob, valid, overflow
 
+    def _lookup_kvals_sorted(self, codes):
+        """Sorted-join hist path: device-sort the canonical mers (invalid
+        windows become u64::MAX sentinels), run the gather-free Pallas
+        join against both tables, and classify positionally — every hist
+        consumer is a reduction, so the permutation is irrelevant."""
+        import jax.numpy as jnp
+
+        fmer, rmer, valid = kmer_windows(codes, self.k)
+        canon = jnp.minimum(fmer, rmer)
+        canon = jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        qs = jnp.sort(canon.reshape(-1))
+        valid_s = qs != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        read_v = self._sj_read.lookup_sorted(qs).astype(np.uint64)
+        asm_v = self._sj_asm.lookup_sorted(qs).astype(np.uint64)
+        read_k, prob, overflow = self.value_map.lookup_jnp(read_v)
+        asm_k = asm_v.astype(jnp.float64)
+        read_k = jnp.where(valid_s, read_k, 0.0)
+        asm_k = jnp.where(valid_s, asm_k, 0.0)
+        return read_k, asm_k, prob, valid_s, overflow
+
     def _hist_chunk(self, codes):
         """codes uint8 [B, C + k - 1] -> per-batch reduced hist stats.
 
@@ -92,7 +128,10 @@ class KstarEngine:
         """
         import jax.numpy as jnp
 
-        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(codes)
+        if self.sortjoin:
+            read_k, asm_k, prob, valid, overflow = self._lookup_kvals_sorted(codes)
+        else:
+            read_k, asm_k, prob, valid, overflow = self._lookup_kvals(codes)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)

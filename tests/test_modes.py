@@ -95,6 +95,21 @@ def test_hist_matches_oracle(setup, tmp_path, use_prob):
         assert f"{ident}\t{pmiss}\t{cum}\t{pkasm}\t{qv:.2f}" in stderr
 
 
+def test_hist_sortjoin_engine_matches(setup, tmp_path):
+    """The gather-free sorted-join hist path gives identical results."""
+    base = _engine(setup, prob=setup["prob"], chunk=512)
+    rl = build_lookup(setup["read_db"])
+    al = build_lookup(setup["asm_db"])
+    sj = KstarEngine(rl, al, K, PEAK, prob_table=setup["prob"], chunk=512,
+                     batch=2, sortjoin=True)
+    assert sj.sortjoin
+    log1, log2 = io.StringIO(), io.StringIO()
+    r1 = run_hist(base, SeqFile(setup["fasta"]), str(tmp_path / "h1"), log=log1)
+    r2 = run_hist(sj, SeqFile(setup["fasta"]), str(tmp_path / "h2"), log=log2)
+    assert r1 == r2
+    assert (tmp_path / "h1").read_text() == (tmp_path / "h2").read_text()
+
+
 def test_dump_matches_oracle(setup, tmp_path):
     engine = _engine(setup, chunk=64)
     out = tmp_path / "dump.tsv"
