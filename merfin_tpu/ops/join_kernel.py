@@ -45,7 +45,8 @@ def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
     q_lo = q_lo_ref[0]
 
     def seg_body(s, acc):
-        r = row0 + s * SEG_ROWS
+        # memref slice indices must be i32 (x64 mode promotes loop vars)
+        r = (row0 + s.astype(jnp.int32) * SEG_ROWS).astype(jnp.int32)
         cp_hi = pltpu.make_async_copy(
             t_hi_ref.at[pl.ds(r, SEG_ROWS), :], w_hi, sem.at[0])
         cp_lo = pltpu.make_async_copy(
@@ -60,6 +61,7 @@ def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
         cp_v.wait()
 
         def chunk_body(c, acc):
+            c = c.astype(jnp.int32)
             wh = w_hi[pl.ds(c, 1), :]        # (1, LANES)
             wl = w_lo[pl.ds(c, 1), :]
             wv = w_v[pl.ds(c, 1), :]
