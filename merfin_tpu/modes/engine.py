@@ -78,26 +78,46 @@ class KstarEngine:
                 np.asarray(asm_lookup.keys)[: asm_lookup.n],
                 np.asarray(asm_lookup.vals)[: asm_lookup.n], k)
 
-        self._hist_step = jax.jit(self._hist_chunk)
-        self._dump_step = jax.jit(self._dump_chunk)
+        # Table/value-map arrays flow through jit as ARGUMENTS so the
+        # compiled programs are table-independent (closure-captured
+        # tables bake into the executable: huge compiles, zero cache
+        # reuse across databases).
+        self._hist_step_impl = jax.jit(self._hist_chunk)
+        self._dump_step_impl = jax.jit(self._dump_chunk)
+
+    def _step_args(self):
+        if self.sortjoin:
+            tables = (self._sj_read.tree(), self._sj_asm.tree())
+        else:
+            tables = (self.read_lookup.tree(), self.asm_lookup.tree())
+        return tables + (self.value_map.device_arrays(),)
+
+    def _hist_step(self, codes):
+        return self._hist_step_impl(codes, *self._step_args())
+
+    def _dump_step(self, codes):
+        # dump always uses the gather tables (it needs positional output)
+        return self._dump_step_impl(
+            codes, self.read_lookup.tree(), self.asm_lookup.tree(),
+            self.value_map.device_arrays())
 
     # ---- device programs ----
 
-    def _lookup_kvals(self, codes):
+    def _lookup_kvals(self, codes, r_tree, a_tree, vm):
         """codes [..., C + k - 1] -> (readK, asmK, prob, valid, overflow)."""
         import jax.numpy as jnp
 
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
-        read_v = self.read_lookup.lookup(canon).astype(np.uint64) * mult
-        asm_v = self.asm_lookup.lookup(canon).astype(np.uint64) * mult
-        read_k, prob, overflow = self.value_map.lookup_jnp(read_v)
+        read_v = self.read_lookup.lookup_with(r_tree, canon).astype(np.uint64) * mult
+        asm_v = self.asm_lookup.lookup_with(a_tree, canon).astype(np.uint64) * mult
+        read_k, prob, overflow = self.value_map.lookup_jnp(read_v, vm)
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid, read_k, 0.0)
         asm_k = jnp.where(valid, asm_k, 0.0)
         return read_k, asm_k, prob, valid, overflow
 
-    def _lookup_kvals_sorted(self, codes):
+    def _lookup_kvals_sorted(self, codes, r_tree, a_tree, vm):
         """Sorted-join hist path: device-sort the canonical mers (invalid
         windows become u64::MAX sentinels), run the gather-free Pallas
         join against both tables, and classify positionally — every hist
@@ -109,15 +129,15 @@ class KstarEngine:
         canon = jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
         qs = jnp.sort(canon.reshape(-1))
         valid_s = qs != jnp.uint64(0xFFFFFFFFFFFFFFFF)
-        read_v = self._sj_read.lookup_sorted(qs).astype(np.uint64)
-        asm_v = self._sj_asm.lookup_sorted(qs).astype(np.uint64)
-        read_k, prob, overflow = self.value_map.lookup_jnp(read_v)
+        read_v = self._sj_read.lookup_sorted_with(r_tree, qs).astype(np.uint64)
+        asm_v = self._sj_asm.lookup_sorted_with(a_tree, qs).astype(np.uint64)
+        read_k, prob, overflow = self.value_map.lookup_jnp(read_v, vm)
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid_s, read_k, 0.0)
         asm_k = jnp.where(valid_s, asm_k, 0.0)
         return read_k, asm_k, prob, valid_s, overflow
 
-    def _hist_chunk(self, codes):
+    def _hist_chunk(self, codes, r_tree, a_tree, vm):
         """codes uint8 [B, C + k - 1] -> per-batch reduced hist stats.
 
         Mirrors processHistogram (merfin-histogram.C:36-92): invalid
@@ -129,9 +149,11 @@ class KstarEngine:
         import jax.numpy as jnp
 
         if self.sortjoin:
-            read_k, asm_k, prob, valid, overflow = self._lookup_kvals_sorted(codes)
+            read_k, asm_k, prob, valid, overflow = self._lookup_kvals_sorted(
+                codes, r_tree, a_tree, vm)
         else:
-            read_k, asm_k, prob, valid, overflow = self._lookup_kvals(codes)
+            read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
+                codes, r_tree, a_tree, vm)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
@@ -157,14 +179,15 @@ class KstarEngine:
         over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
         return kasm, kmissing, kover, undr_hist, over_hist, max_idx, overflow
 
-    def _dump_chunk(self, codes):
+    def _dump_chunk(self, codes, r_tree, a_tree, vm):
         """codes uint8 [C + k - 1] -> per-position readK/asmK/K* + counts.
 
         Mirrors processDump (merfin-dump.C:21-68).
         """
         import jax.numpy as jnp
 
-        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(codes)
+        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
+            codes, r_tree, a_tree, vm)
         kasm = jnp.sum(valid)
         kmissing = jnp.sum(valid & (read_k == 0))
         kmetric = jnp.where(valid, k_metric_jnp(read_k, asm_k), 0.0)

@@ -45,8 +45,9 @@ def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
     q_lo = q_lo_ref[0]
 
     def seg_body(s, acc):
-        # memref slice indices must be i32 (x64 mode promotes loop vars)
-        r = (row0 + s.astype(jnp.int32) * SEG_ROWS).astype(jnp.int32)
+        # s is i32: the fori bounds below are i32 (x64 would give i64,
+        # which tpu.memref_slice rejects)
+        r = row0 + s * SEG_ROWS
         cp_hi = pltpu.make_async_copy(
             t_hi_ref.at[pl.ds(r, SEG_ROWS), :], w_hi, sem.at[0])
         cp_lo = pltpu.make_async_copy(
@@ -60,20 +61,19 @@ def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
         cp_lo.wait()
         cp_v.wait()
 
-        def chunk_body(c, acc):
-            c = c.astype(jnp.int32)
-            wh = w_hi[pl.ds(c, 1), :]        # (1, LANES)
-            wl = w_lo[pl.ds(c, 1), :]
-            wv = w_v[pl.ds(c, 1), :]
+        # static unroll over the segment's chunks: no dynamic lane math
+        for c in range(SEG_ROWS):
+            wh = w_hi[c : c + 1, :]          # (1, LANES)
+            wl = w_lo[c : c + 1, :]
+            wv = w_v[c : c + 1, :]
             eq = (q_hi == wh) & (q_lo == wl)             # (QB, LANES)
             # Mosaic can't reduce unsigned ints; accumulate as int32
             hit = jnp.where(eq, wv.astype(jnp.int32), jnp.int32(0))
-            return acc + jnp.sum(hit, axis=1, keepdims=True, dtype=jnp.int32)
-
-        return jax.lax.fori_loop(0, SEG_ROWS, chunk_body, acc)
+            acc = acc + jnp.sum(hit, axis=1, keepdims=True, dtype=jnp.int32)
+        return acc
 
     acc = jax.lax.fori_loop(
-        0, n_seg, seg_body, jnp.zeros((QB, 1), dtype=jnp.int32)
+        jnp.int32(0), n_seg, seg_body, jnp.zeros((QB, 1), dtype=jnp.int32),
     )
     out_ref[0] = acc.astype(jnp.uint32)
 
@@ -88,8 +88,10 @@ class SortJoinTable:
         vals = np.ascontiguousarray(vals, dtype=np.uint32)
         self.k = int(k)
         self.n = int(keys.size)
-        # pad so any segment DMA stays in bounds; pad keys = u64::MAX
+        # pad so any segment DMA stays in bounds; pad keys = u64::MAX.
+        # Quantized to a power of two for compiled-program reuse.
         pad = ((self.n + SEG - 1) // SEG + 1) * SEG
+        pad = max(2 * SEG, 1 << (pad - 1).bit_length())
         hi = np.full(pad, 0xFFFFFFFF, np.uint32)
         lo = np.full(pad, 0xFFFFFFFF, np.uint32)
         v = np.zeros(pad, np.uint32)
@@ -103,21 +105,29 @@ class SortJoinTable:
         self.pad = pad
         self.pad_rows = pad // LANES
 
+    def tree(self):
+        """Arrays as a pytree — pass through outer jits as arguments."""
+        return (self.t_hi, self.t_lo, self.t_v, self.keys_u64)
+
     def lookup_sorted(self, q):
         """Values for a SORTED uint64 query array (len multiple of QB)."""
+        return self.lookup_sorted_with(self.tree(), q)
+
+    def lookup_sorted_with(self, tree, q):
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
+        t_hi, t_lo, t_v, keys_u64 = tree
         m = q.shape[0]
         assert m % QB == 0, "query length must be a multiple of QB"
         g = m // QB
 
         # block windows: [lo_i, hi_i) table ranges per query block
         bounds_q = jnp.concatenate([q[::QB], q[-1:]])
-        pos = jnp.searchsorted(self.keys_u64, bounds_q)
-        pos_hi = jnp.searchsorted(self.keys_u64, bounds_q[1:], side="right")
+        pos = jnp.searchsorted(keys_u64, bounds_q)
+        pos_hi = jnp.searchsorted(keys_u64, bounds_q[1:], side="right")
         win_lo = pos[:-1].astype(jnp.int32)
         win_hi = pos_hi.astype(jnp.int32)
         # segment-align; clamp into the padded planes (row units)
@@ -157,7 +167,7 @@ class SortJoinTable:
             out_shape=jax.ShapeDtypeStruct((g, QB, 1), jnp.uint32),
             grid_spec=grid_spec,
             interpret=_interpret_mode(),
-        )(win_row, win_seg, q_hi, q_lo, self.t_hi, self.t_lo, self.t_v)
+        )(win_row, win_seg, q_hi, q_lo, t_hi, t_lo, t_v)
         return out.reshape(-1)
 
 

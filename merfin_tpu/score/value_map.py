@@ -30,8 +30,10 @@ class ValueMap:
     def __init__(self, peak: float, prob_table: ProbTable | None,
                  max_value: int, hard_cap: int = 1 << 22):
         self.peak = float(peak)
-        # fmer+rmer palindrome doubling can reach 2 * max DB value
-        self.vcap = int(min(max(2 * max_value, 2), hard_cap))
+        # fmer+rmer palindrome doubling can reach 2 * max DB value;
+        # quantize to a power of two for compiled-program reuse
+        vcap = int(min(max(2 * max_value, 2), hard_cap))
+        self.vcap = max(2, 1 << (vcap - 1).bit_length())
         v = np.arange(self.vcap + 1, dtype=np.uint64)
         read_k, _, prob = get_k_np(v, np.zeros_like(v), peak, prob_table)
         self.read_k_host = read_k          # float64, integer-valued (or inf)
@@ -47,15 +49,17 @@ class ValueMap:
 
         return jnp.asarray(self.read_k_host), jnp.asarray(self.prob_host)
 
-    def lookup_jnp(self, seq_value):
+    def lookup_jnp(self, seq_value, arrays=None):
         """Device getK via gather: (readK, prob, overflow_count).
 
         seq_value: uint64 raw values (already fmer+rmer summed).
         Values above vcap use the (non-exact on TPU) float fallback.
+        Pass ``arrays=device_arrays()`` through an outer jit so the maps
+        ride as arguments instead of baked-in constants.
         """
         import jax.numpy as jnp
 
-        rk_map, pr_map = self.device_arrays()
+        rk_map, pr_map = arrays if arrays is not None else self.device_arrays()
         v = seq_value.astype(jnp.int64)
         over = v > self.vcap
         idx = jnp.minimum(v, self.vcap)

@@ -112,6 +112,9 @@ class DeviceLookup:
         # real value + zeros).
         W = max(1, self.window)
         pad_to = ((self.n + W - 1) // W + 4) * W   # spare blocks for row fetch
+        # quantize to a power of two so compiled programs are shared
+        # across tables of similar size (persistent-cache friendly)
+        pad_to = max(4 * W, 1 << (pad_to - 1).bit_length())
         keys_p = np.zeros(pad_to, np.uint64)
         vals_p = np.zeros(pad_to, np.uint32)
         if self.n:
@@ -135,6 +138,17 @@ class DeviceLookup:
     def memory_bytes(self) -> int:
         return self.n * 12 + ((1 << self.bits) + 1) * 4
 
+    def tree(self):
+        """Table arrays as a pytree — pass through jit boundaries as
+        ARGUMENTS so device programs don't bake the table in as a
+        constant (a closure-captured table forces a recompile per table
+        and bloats the executable)."""
+        return (self.keys, self.vals, self.keys2d, self.vals2d, self.offsets)
+
+    def lookup_with(self, tree, q):
+        """lookup() with table arrays supplied explicitly (see tree())."""
+        return self._lookup_impl(tree, q)
+
     def lookup_np(self, q: np.ndarray) -> np.ndarray:
         """Numpy-in/numpy-out batched lookup for host-driven pipelines.
 
@@ -145,7 +159,7 @@ class DeviceLookup:
         import jax.numpy as jnp
 
         if self._jit_lookup is None:
-            self._jit_lookup = jax.jit(self.lookup)
+            self._jit_lookup = jax.jit(self._lookup_impl)
         q = np.ascontiguousarray(q, dtype=np.uint64)
         n = q.size
         if n == 0:
@@ -153,16 +167,23 @@ class DeviceLookup:
         p = max(4096, 1 << (n - 1).bit_length())
         qp = np.zeros(p, dtype=np.uint64)
         qp[:n] = q.reshape(-1)
-        out = np.asarray(self._jit_lookup(jnp.asarray(qp)))[:n]
+        out = np.asarray(self._jit_lookup(self.tree(), jnp.asarray(qp)))[:n]
         return out.astype(np.uint64).reshape(q.shape)
 
     def lookup(self, q):
         """Values for queried mers (uint64 array) — 0 where absent.
 
-        Traceable under jit; q may be any shape.
+        Traceable under jit; q may be any shape.  NOTE: inside an outer
+        jit, prefer lookup_with(tree(), q) so the table rides as an
+        argument, not a baked-in constant.
         """
+        return self._lookup_impl(self.tree(), q)
+
+    def _lookup_impl(self, tree, q):
         import jax
         import jax.numpy as jnp
+
+        keys, vals, keys2d, vals2d, offsets = tree
 
         if self.n == 0:
             return jnp.zeros(q.shape, dtype=jnp.uint32)
@@ -173,20 +194,20 @@ class DeviceLookup:
         if self.strategy == "block":
             # A bucket spans at most `rows` consecutive window-wide blocks
             # (sized at build); fetch them and equality-select.
-            base = self.offsets[b]
+            base = offsets[b]
             r = jnp.minimum(base // self.window, self.nblocks - self.rows)
             rows = r[:, None] + jnp.arange(self.rows, dtype=jnp.int32)[None, :]
-            kwin = jnp.take(self.keys2d, rows, axis=0)        # [M, R, W]
-            vwin = jnp.take(self.vals2d, rows, axis=0)
+            kwin = jnp.take(keys2d, rows, axis=0)        # [M, R, W]
+            vwin = jnp.take(vals2d, rows, axis=0)
             match = kwin == qs[:, None, None]
             out = jnp.sum(jnp.where(match, vwin, jnp.uint32(0)), axis=(1, 2),
                           dtype=jnp.uint32)
             return out.reshape(q.shape)
 
         if self.strategy == "slice":
-            base = self.offsets[b]
+            base = offsets[b]
             win = jax.lax.gather(
-                self.keys,
+                keys,
                 base[:, None],
                 jax.lax.GatherDimensionNumbers(
                     offset_dims=(1,), collapsed_slice_dims=(),
@@ -198,24 +219,24 @@ class DeviceLookup:
             match = win == qs[:, None]
             found = jnp.any(match, axis=1)
             pos = jnp.argmax(match, axis=1).astype(jnp.int32)
-            idx = jnp.minimum(base + pos, self.keys.shape[0] - 1)
-            out = jnp.where(found, self.vals[idx], jnp.uint32(0))
+            idx = jnp.minimum(base + pos, keys.shape[0] - 1)
+            out = jnp.where(found, vals[idx], jnp.uint32(0))
             return out.reshape(q.shape)
 
-        lo = self.offsets[b]
-        hi = self.offsets[b + 1]
+        lo = offsets[b]
+        hi = offsets[b + 1]
 
         def body(_, state):
             lo, hi = state
             mid = (lo + hi) >> 1
-            km = self.keys[mid]
+            km = keys[mid]
             go_right = km < qs
             return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
 
         lo, hi = jax.lax.fori_loop(0, max(self.search_iters, 1), body, (lo, hi))
         idx = jnp.minimum(lo, self.n - 1)
-        hit = (self.keys[idx] == qs) & (lo < self.offsets[b + 1])
-        out = jnp.where(hit, self.vals[idx], jnp.uint32(0))
+        hit = (keys[idx] == qs) & (lo < offsets[b + 1])
+        out = jnp.where(hit, vals[idx], jnp.uint32(0))
         return out.reshape(q.shape)
 
 
