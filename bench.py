@@ -57,14 +57,16 @@ def main() -> None:
     q = jnp.asarray(q_np)
     look = jax.jit(table.lookup)
 
-    # warmup + compile
-    look(q).block_until_ready()
+    # warmup + compile (np.asarray forces a real result fetch: on the
+    # tunneled backend block_until_ready alone returns before the remote
+    # compile/execute completes)
+    np.asarray(look(q))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = look(q)
-    out.block_until_ready()
+    _ = np.asarray(out)
     dt = time.perf_counter() - t0
     tpu_rate = n_query * iters / dt
 

@@ -48,12 +48,14 @@ def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
         # s is i32: the fori bounds below are i32 (x64 would give i64,
         # which tpu.memref_slice rejects)
         r = row0 + s * SEG_ROWS
+        z = np.int32(0)   # x64 mode promotes bare int literals to i64,
+        # which tpu.memref_slice rejects for semaphore indexing
         cp_hi = pltpu.make_async_copy(
-            t_hi_ref.at[pl.ds(r, SEG_ROWS), :], w_hi, sem.at[0])
+            t_hi_ref.at[pl.ds(r, SEG_ROWS), :], w_hi, sem.at[z])
         cp_lo = pltpu.make_async_copy(
-            t_lo_ref.at[pl.ds(r, SEG_ROWS), :], w_lo, sem.at[1])
+            t_lo_ref.at[pl.ds(r, SEG_ROWS), :], w_lo, sem.at[z + 1])
         cp_v = pltpu.make_async_copy(
-            t_v_ref.at[pl.ds(r, SEG_ROWS), :], w_v, sem.at[2])
+            t_v_ref.at[pl.ds(r, SEG_ROWS), :], w_v, sem.at[z + 2])
         cp_hi.start()
         cp_lo.start()
         cp_v.start()
@@ -145,13 +147,16 @@ class SortJoinTable:
             num_scalar_prefetch=2,
             grid=(g,),
             in_specs=[
-                pl.BlockSpec((1, QB, 1), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, QB, 1), lambda i, *_: (i, 0, 0)),
+                # np.int32 zeros: x64 mode would make the index map
+                # return mixed (i32, i64, i64), which Mosaic rejects
+                pl.BlockSpec((1, QB, 1), lambda i, *_: (i, np.int32(0), np.int32(0))),
+                pl.BlockSpec((1, QB, 1), lambda i, *_: (i, np.int32(0), np.int32(0))),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, QB, 1), lambda i, *_: (i, 0, 0)),
+            out_specs=pl.BlockSpec(
+                (1, QB, 1), lambda i, *_: (i, np.int32(0), np.int32(0))),
             scratch_shapes=[
                 pltpu.VMEM((SEG_ROWS, LANES), jnp.uint32),
                 pltpu.VMEM((SEG_ROWS, LANES), jnp.uint32),
