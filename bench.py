@@ -55,7 +55,9 @@ def main() -> None:
 
     table = DeviceLookup(keys, vals, k)
     q = jnp.asarray(q_np)
-    look = jax.jit(table.lookup)
+    tree = table.tree()
+    look_impl = jax.jit(table._lookup_impl)
+    look = lambda qq: look_impl(tree, qq)
 
     # warmup + compile (np.asarray forces a real result fetch: on the
     # tunneled backend block_until_ready alone returns before the remote
