@@ -39,14 +39,15 @@ def run_completeness(
 
     max_v = int(np.asarray(read_db.vals).max()) if read_db.distinct else 1
     vmap = ValueMap(peak, prob_table, max_v)
+    vm_arrays = vmap.device_arrays()
 
     @jax.jit
-    def slice_stats(read_keys, read_vals, read_mask, asm_keys, asm_vals):
+    def slice_stats(read_keys, read_vals, read_mask, asm_keys, asm_vals, vm):
         idx = jnp.searchsorted(asm_keys, read_keys)
         idx_c = jnp.minimum(idx, asm_keys.shape[0] - 1)
         hit = asm_keys[idx_c] == read_keys
         asm_v = jnp.where(hit, asm_vals[idx_c], jnp.uint32(0))
-        read_k, _, _ = vmap.lookup_jnp(read_vals.astype(jnp.uint64))
+        read_k, _, _ = vmap.lookup_jnp(read_vals.astype(jnp.uint64), vm)
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(read_mask, read_k, 0.0)
         asm_k = jnp.where(read_mask, asm_k, 0.0)
@@ -83,7 +84,7 @@ def run_completeness(
                 rv = np.pad(rv, (0, block - n))
             mask = np.zeros(block, dtype=bool)
             mask[:n] = True
-            t, u = slice_stats(rk, rv, mask, a_keys, a_vals)
+            t, u = slice_stats(rk, rv, mask, a_keys, a_vals, vm_arrays)
             compl_total[ii] += float(t)
             compl_undrc[ii] += float(u)
 
