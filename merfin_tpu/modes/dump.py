@@ -52,7 +52,9 @@ def run_dump(
     is_gz = out_name is not None and out_name.endswith(".gz")
     seq_idx = 0
     try:
-        for seq in seq_file.iter_coded():
+        from merfin_tpu.utils.prefetch import prefetch_iter
+
+        for seq in prefetch_iter(seq_file.iter_coded()):
             seq_idx += 1
             if seq_idx <= skip:
                 continue

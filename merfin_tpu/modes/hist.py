@@ -41,8 +41,10 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
         g_over[: len(a["over"])] = a["over"]
         print(f"-- Resuming after {skip} sequences.", file=log)
 
+    from merfin_tpu.utils.prefetch import prefetch_iter
+
     seq_idx = 0
-    for seq in seq_file.iter_coded():
+    for seq in prefetch_iter(seq_file.iter_coded()):
         seq_idx += 1
         if seq_idx <= skip:
             continue
