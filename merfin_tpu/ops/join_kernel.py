@@ -172,6 +172,12 @@ class SortJoinTable:
             out_shape=jax.ShapeDtypeStruct((g, QB, 1), jnp.uint32),
             grid_spec=grid_spec,
             interpret=_interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                # the unrolled chunk loop keeps several (QB, LANES)
+                # intermediates live; default 16M scoped vmem is too
+                # small (v5e has 128M)
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
         )(win_row, win_seg, q_hi, q_lo, t_hi, t_lo, t_v)
         return out.reshape(-1)
 
