@@ -37,11 +37,9 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from merfin_tpu.table.lookup import DeviceLookup
-
     k = 21
-    n_table = 1 << int(os.environ.get("BENCH_LOG_TABLE", 25))
-    n_query = 1 << int(os.environ.get("BENCH_LOG_QUERY", 24))
+    n_table = 1 << int(os.environ.get("BENCH_LOG_TABLE", 23))
+    n_query = 1 << int(os.environ.get("BENCH_LOG_QUERY", 23))
     rng = np.random.default_rng(0)
 
     keys = np.unique(rng.integers(0, 1 << (2 * k), size=n_table).astype(np.uint64))
@@ -53,21 +51,26 @@ def main() -> None:
     q_np = np.concatenate([keys[hit_idx], misses])
     rng.shuffle(q_np)
 
-    table = DeviceLookup(keys, vals, k)
+    # Headline: the sorted-join Pallas kernel (the hist/completeness/count
+    # hot path — consumers reduce, so queries are device-sorted and never
+    # unsorted).  merfin_tpu/ops/join_kernel.py.
+    from merfin_tpu.ops.join_kernel import SortJoinTable
+
+    sj = SortJoinTable(keys, vals, k)
     q = jnp.asarray(q_np)
-    tree = table.tree()
-    look_impl = jax.jit(table._lookup_impl)
-    look = lambda qq: look_impl(tree, qq)
+    tree = sj.tree()   # table rides as a jit ARGUMENT (program reuse)
+    join_impl = jax.jit(lambda tr, qq: sj.lookup_sorted_with(tr, jnp.sort(qq)))
+    join = lambda qq: join_impl(tree, qq)
 
     # warmup + compile (np.asarray forces a real result fetch: on the
     # tunneled backend block_until_ready alone returns before the remote
     # compile/execute completes)
-    np.asarray(look(q))
+    np.asarray(join(q))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = look(q)
+        out = join(q)
     _ = np.asarray(out)
     dt = time.perf_counter() - t0
     tpu_rate = n_query * iters / dt
