@@ -93,6 +93,10 @@ def merfin_main(argv: list[str]) -> int:
                 cfg.resume = True
             elif a == "-mesh":
                 cfg.mesh = nextarg()
+            elif a == "-sortjoin":
+                cfg.sortjoin = True
+            elif a == "-nosortjoin":
+                cfg.sortjoin = False
             elif a in mode_flags:
                 if a == "-loose":
                     print("*EXPERIMENTAL* Running in -loose mode", file=sys.stderr)
@@ -236,10 +240,17 @@ def run(cfg: MerfinConfig) -> int:
                 ShardedLookup.build(asm_db, mesh),
                 k, cfg.peak, prob_table=prob, max_value=_db_max(read_db))
         else:
+            import jax
+
             from merfin_tpu.modes.engine import KstarEngine
 
+            sortjoin = cfg.sortjoin
+            if sortjoin is None:   # auto: the Pallas join path on accelerators
+                sortjoin = jax.default_backend() != "cpu" and k % 2 == 1
             engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
-                                 max_value=_db_max(read_db))
+                                 max_value=_db_max(read_db), sortjoin=sortjoin)
+            if engine.sortjoin:
+                print("-- Using sorted-join lookup kernel for -hist.", file=log)
         run_hist(engine, seq_file, cfg.out_name, log=log, resume=cfg.resume)
 
     elif cfg.report_type == "dump":

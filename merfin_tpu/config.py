@@ -75,6 +75,7 @@ class MerfinConfig:
     debug: bool = False                  # -debug
     resume: bool = False                 # -resume (extension: sequence-level checkpoint/restart)
     mesh: str | None = None              # -mesh DxT (extension: shard tables over a device mesh)
+    sortjoin: bool | None = None         # -sortjoin/-nosortjoin (default: auto on accelerators)
     skip_missing: bool = False           # -skipMissing
 
     # report type: one of hist|completeness|dump|filter|polish|better|strict|loose
