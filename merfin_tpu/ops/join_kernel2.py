@@ -62,8 +62,10 @@ def _kernel(win_seg0_ref, win_nseg_ref,
     zero = np.int32(0)
 
     def seg_body(s, acc):
+        # all literals as np.int32: x64 mode promotes bare python ints
+        # to i64, which Mosaic rejects
         seg = seg0 + s
-        row0 = seg * SEG_ROWS
+        row0 = seg * np.int32(SEG_ROWS)
         cp_t = pltpu.make_async_copy(
             t_planes_ref.at[:, pl.ds(row0, SEG_ROWS), :], w_planes, sem.at[zero])
         cp_fh = pltpu.make_async_copy(
@@ -81,8 +83,9 @@ def _kernel(win_seg0_ref, win_nseg_ref,
         fh = w_f_hi[0:1, :]                    # (1, SEG_ROWS) u32
         fl = w_f_lo[0:1, :]
         le = (fh < q_fhi) | ((fh == q_fhi) & (fl <= q_flo))   # (QB, SEG_ROWS)
-        row_q = jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True) - 1
-        row_q = jnp.clip(row_q, 0, SEG_ROWS - 1)              # (QB, 1)
+        row_q = (jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True)
+                 - np.int32(1))
+        row_q = jnp.clip(row_q, np.int32(0), np.int32(SEG_ROWS - 1))
 
         # 3: one-hot contraction pulls each query's row
         iota = jax.lax.broadcasted_iota(jnp.int32, (QB, SEG_ROWS), 1)
@@ -103,8 +106,9 @@ def _kernel(win_seg0_ref, win_nseg_ref,
         # int32 (16-bit pieces are exact in f32, full u32 would not be)
         eq = ((c_hi_a == q_hi_a) & (c_hi_b == q_hi_b)
               & (c_lo_a == q_lo_a) & (c_lo_b == q_lo_b))      # (QB, 128)
-        v_int = (c_v_a.astype(jnp.int32) * 65536 + c_v_b.astype(jnp.int32))
-        val = jnp.where(eq, v_int, 0)
+        v_int = (c_v_a.astype(jnp.int32) * np.int32(65536)
+                 + c_v_b.astype(jnp.int32))
+        val = jnp.where(eq, v_int, np.int32(0))
         return acc + jnp.sum(val, axis=1, keepdims=True, dtype=jnp.int32)
 
     acc = jax.lax.fori_loop(
