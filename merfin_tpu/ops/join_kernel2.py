@@ -83,7 +83,8 @@ def _kernel(win_seg0_ref, win_nseg_ref,
         fh = w_f_hi[0:1, :]                    # (1, SEG_ROWS) u32
         fl = w_f_lo[0:1, :]
         le = (fh < q_fhi) | ((fh == q_fhi) & (fl <= q_flo))   # (QB, SEG_ROWS)
-        row_q = (jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True)
+        row_q = (jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True,
+                         dtype=jnp.int32)          # x64 would promote to i64
                  - np.int32(1))
         row_q = jnp.clip(row_q, np.int32(0), np.int32(SEG_ROWS - 1))
 

@@ -1,0 +1,148 @@
+"""Selector policy edge cases — tie-break and quirk coverage
+(varMer.C:150-467 semantics via synthetic PathScore fixtures)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from merfin_tpu.io.vcf import VcfRecord, PosGT, GtAllele
+from merfin_tpu.variants.enumerate import VarPath
+from merfin_tpu.variants.score import PathScore
+from merfin_tpu.variants import select
+
+K = 7
+
+
+def _cluster(n_vars=1, alts=("T",), quals=(30.5,)) -> PosGT:
+    recs = []
+    for i in range(n_vars):
+        alt = alts[i % len(alts)]
+        q = quals[i % len(quals)]
+        line = f"chr1\t{10 + i * 30}\t.\tA\t{alt}\t{q}\tPASS\t.\tGT\t1/1"
+        recs.append(VcfRecord.load(line))
+    pg = PosGT(recs[0])
+    for r in recs[1:]:
+        pg.add_gt(GtAllele(r))
+    return pg
+
+
+def _path(seq, gt, num_m, dk=()):
+    p = VarPath(seq, list(gt), [K] * len(gt), [1] * len(gt))
+    s = PathScore(num_m, np.asarray([0.0] * max(1, len(seq) - K + 1)),
+                  np.asarray(dk if dk else [0.0]))
+    return p, s
+
+
+def test_best_variant_single_zero_missing_goes_het_branch_same_output():
+    """The double-push quirk: ONE zero-missing path enters idxs twice and
+    routes through the het branch; het(idx, idx) emits the same hom
+    records (varMer.C:161-176,434-462)."""
+    pg = _cluster()
+    p0, s0 = _path("A" * 20, [0], 14)   # ref path all-missing -> excluded
+    p1, s1 = _path("A" * 10 + "T" + "A" * 9, [1], 0)
+    out = select.best_variant([p0, p1], [s0, s1], pg, K)
+    assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t1/1\n"
+
+
+def test_best_variant_ref_ties_via_double_push_gives_het_0_1():
+    """A zero-missing ALT that ties the surviving ref path on int-truncated
+    totdK yields a 0/1 het — the faithful consequence of the double-push
+    plus multimap ordering (ref inserted first)."""
+    pg = _cluster()
+    p0, s0 = _path("A" * 20, [0], 3)
+    p1, s1 = _path("A" * 10 + "T" + "A" * 9, [1], 0)
+    out = select.best_variant([p0, p1], [s0, s1], pg, K)
+    assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t0/1\n"
+
+
+def test_best_variant_het_on_equal_totdk():
+    """Two distinct zero-missing paths with equal totdK -> het 1/2,
+    longer sequence first (varMer.C:451-459)."""
+    pg = _cluster(alts=("T,G",),)  # multiallelic: alleles A,T,G
+    # rebuild with GT 1/2 so both alts are present
+    rec = VcfRecord.load("chr1\t10\t.\tA\tT,G\t42.9\tPASS\t.\tGT\t1/2")
+    pg = PosGT(rec)
+    p0, s0 = _path("A" * 20, [0], 5)
+    p1, s1 = _path("A" * 21, [1], 1, dk=[2.5])
+    p2, s2 = _path("A" * 20, [2], 1, dk=[2.5])
+    out = select.best_variant([p0, p1, p2], [s0, s1, s2], pg, K)
+    # equal keys -> het; p1 longer -> hap1; alleles T and G -> GT 1/2
+    assert out == "chr1\t10\t.\tA\tT,G\t42\tPASS\t.\tGT\t1/2\n"
+
+
+def test_best_variant_int_truncated_ordering():
+    """totdK 2.9 vs 2.1: both int-truncate to 2 -> treated EQUAL, insertion
+    order decides (varMer.H:72 multimap<double,int,greater<int>>)."""
+    rec = VcfRecord.load("chr1\t10\t.\tA\tT,G\t5\tPASS\t.\tGT\t1/2")
+    pg = PosGT(rec)
+    p0, s0 = _path("A" * 20, [0], 5)
+    p1, s1 = _path("A" * 20, [1], 1, dk=[2.9])
+    p2, s2 = _path("A" * 19, [2], 1, dk=[2.1])
+    out = select.best_variant([p0, p1, p2], [s0, s1, s2], pg, K)
+    # int-equal keys but double-compare avgK1 != avgK2 -> hom of first
+    assert out == "chr1\t10\t.\tA\tT\t5\tPASS\t.\tGT\t1/1\n"
+
+    # truly different ints: 3.2 vs 1.9 -> descending by int -> p1 first
+    s1b = PathScore(1, s1.kstr, np.asarray([3.2]))
+    s2b = PathScore(1, s2.kstr, np.asarray([1.9]))
+    out = select.best_variant([p0, p1, p2], [s0, s1b, s2b], pg, K)
+    assert "GT\t1/1" in out and "\tT\t" in out
+
+
+def test_better_excludes_neutral_strict_same():
+    pg = _cluster()
+    p0, s0 = _path("A" * 20, [0], 2)
+    p1, s1 = _path("A" * 20, [1], 2)   # neutral: equal to ref missing
+    assert select.better_variant([p0, p1], [s0, s1], pg, K) == ""
+    assert select.strict_polish([p0, p1], [s0, s1], pg, K) == ""
+
+
+def test_loose_includes_neutral_and_warns():
+    pg = _cluster()
+    p0, s0 = _path("A" * 20, [0], 2)
+    p1, s1 = _path("A" * 20, [1], 2)   # neutral alt
+    log = io.StringIO()
+    out = select.loose_polish([p0, p1], [s0, s1], pg, K, log=log)
+    # idxs == [ref, alt] -> special two-path case, no warning
+    assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t1/1\n"
+    assert "WARNING" not in log.getvalue()
+
+    # three tied paths -> most-ALTs tie-break + warning
+    rec = VcfRecord.load("chr1\t10\t.\tA\tT,G\t7.7\tPASS\t.\tGT\t1/2")
+    pg2 = PosGT(rec)
+    p2, s2 = _path("A" * 20, [2], 2)
+    log = io.StringIO()
+    out = select.loose_polish([p0, p1, p2], [s0, s1, s2], pg2, K, log=log)
+    assert "WARNING" in log.getvalue()
+    assert out.endswith("GT\t1/1\n")
+
+
+def test_best_filter_unions_contributing_alts():
+    pg = _cluster(n_vars=2, alts=("T", "G"), quals=(10.4, 20.6))
+    paths = [
+        _path("X", [0, 0], 4)[0],
+        _path("Y", [1, 0], 1)[0],
+        _path("Z", [0, 1], 1)[0],
+    ]
+    scores = [PathScore(4, np.zeros(1), np.zeros(1)),
+              PathScore(1, np.zeros(1), np.zeros(1)),
+              PathScore(1, np.zeros(1), np.zeros(1))]
+    recs = select.best_filter(paths, scores, pg, K)
+    # both min-missing paths contribute their ALT -> both original records
+    assert [r.save() for r in recs] == [
+        "chr1\t10\t.\tA\tT\t10.4\tPASS\t.\tGT\t1/1\n",
+        "chr1\t40\t.\tA\tG\t20.6\tPASS\t.\tGT\t1/1\n",
+    ]
+
+
+def test_all_missing_paths_excluded_by_size_t_rule():
+    pg = _cluster()
+    # path of length 20: all-missing count = 20-7+1 = 14
+    p0, s0 = _path("A" * 20, [1], 14)
+    assert select.best_variant([p0], [s0], pg, K) == ""
+    # shorter than k-1: numM can never equal the huge size_t value
+    p1 = VarPath("ACG", [1], [0], [1])
+    s1 = PathScore(0, np.zeros(0), np.zeros(0))
+    out = select.best_variant([p1], [s1], pg, K)
+    assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t1/1\n"
