@@ -93,7 +93,9 @@ def _kernel(win_seg0_ref, win_nseg_ref,
         onehot = (iota == row_q).astype(jnp.float32)          # (QB, 64)
 
         def pull(plane_idx):
-            plane = w_planes[plane_idx].astype(jnp.float32)        # (64, 128)
+            # u32 -> f32 is unsupported in Mosaic; go through i32 (values
+            # are 16-bit, exact either way)
+            plane = w_planes[plane_idx].astype(jnp.int32).astype(jnp.float32)
             return jnp.dot(onehot, plane, preferred_element_type=jnp.float32)
 
         c_hi_a = pull(0)
