@@ -80,7 +80,8 @@ def _kernel(win_seg0_ref, win_nseg_ref,
         cp_fl.wait()
 
         # 1-2: candidate row per query via 64-bit fence compare
-        fh = w_f_hi[0:1, :]                    # (1, SEG_ROWS) u32
+        # (fences lane-padded to 128 with int32-max: never counted)
+        fh = w_f_hi[0:1, :]                    # (1, LANES) i32
         fl = w_f_lo[0:1, :]
         le = (fh < q_fhi) | ((fh == q_fhi) & (fl <= q_flo))   # (QB, SEG_ROWS)
         row_q = (jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True,
@@ -152,10 +153,17 @@ class SortJoinTableV2:
         rows = pad // LANES
         f_hi = hi.reshape(rows, LANES)[:, 0]
         f_lo = lo.reshape(rows, LANES)[:, 0]
-        # hi < 2^31 always (k <= 31 keys); lo biased for signed compare
-        self.f_hi = jnp.asarray(f_hi.view(np.int32).reshape(-1, SEG_ROWS))
-        self.f_lo = jnp.asarray(
-            (f_lo ^ np.uint32(0x80000000)).view(np.int32).reshape(-1, SEG_ROWS))
+        # hi < 2^31 always (k <= 31 keys); lo biased for signed compare.
+        # Lane-pad each segment's 64 fences to 128 (Mosaic slices must be
+        # 128-aligned); pad fences are +max so they never count in `le`.
+        n_segs = rows // SEG_ROWS
+        fh = np.full((n_segs, LANES), 0x7FFFFFFF, np.int32)
+        fl = np.full((n_segs, LANES), 0x7FFFFFFF, np.int32)
+        fh[:, :SEG_ROWS] = f_hi.view(np.int32).reshape(n_segs, SEG_ROWS)
+        fl[:, :SEG_ROWS] = (
+            (f_lo ^ np.uint32(0x80000000)).view(np.int32).reshape(n_segs, SEG_ROWS))
+        self.f_hi = jnp.asarray(fh)
+        self.f_lo = jnp.asarray(fl)
         self.keys_u64 = jnp.asarray(keys)
         self.pad = pad
         self.n_segs = pad // SEG
@@ -214,8 +222,8 @@ class SortJoinTableV2:
                 (1, QB, 1), lambda i, *_: (i, np.int32(0), np.int32(0))),
             scratch_shapes=[
                 pltpu.VMEM((6, SEG_ROWS, LANES), jnp.uint32),
-                pltpu.VMEM((1, SEG_ROWS), jnp.int32),
-                pltpu.VMEM((1, SEG_ROWS), jnp.int32),
+                pltpu.VMEM((1, LANES), jnp.int32),
+                pltpu.VMEM((1, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         )
