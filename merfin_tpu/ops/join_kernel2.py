@@ -35,9 +35,10 @@ def _split16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _kernel(win_seg0_ref, win_nseg_ref,
-            q_planes_ref,                      # (1, QB, 8)
+            q_hi_a_ref, q_hi_b_ref, q_lo_a_ref, q_lo_b_ref,
+            q_fhi_ref, q_flo_ref,              # (1, QB, 1) int32 each
             t_planes_ref,                      # HBM [6, rows, LANES] u32
-            f_hi_ref, f_lo_ref,                # HBM [n_segs, SEG_ROWS] u32
+            f_hi_ref, f_lo_ref,                # HBM [n_segs, LANES] i32
             out_ref,
             w_planes, w_f_hi, w_f_lo, sem):
     import jax
@@ -49,15 +50,14 @@ def _kernel(win_seg0_ref, win_nseg_ref,
     seg0 = win_seg0_ref[i]
     n_seg = win_nseg_ref[i]
 
-    qp = q_planes_ref[0]                       # (QB, 8) int32
-    q_hi_a = qp[:, 0:1].astype(jnp.float32)    # key hi16
-    q_hi_b = qp[:, 1:2].astype(jnp.float32)
-    q_lo_a = qp[:, 2:3].astype(jnp.float32)
-    q_lo_b = qp[:, 3:4].astype(jnp.float32)
+    q_hi_a = q_hi_a_ref[0].astype(jnp.float32)   # (QB, 1) key hi16
+    q_hi_b = q_hi_b_ref[0].astype(jnp.float32)
+    q_lo_a = q_lo_a_ref[0].astype(jnp.float32)
+    q_lo_b = q_lo_b_ref[0].astype(jnp.float32)
     # fence-compare pieces: hi fits i32 (keys <= 62 bits); lo is biased by
     # 2^31 at build so signed compare preserves unsigned order
-    q_fhi = qp[:, 4:5]
-    q_flo = qp[:, 5:6]
+    q_fhi = q_fhi_ref[0]
+    q_flo = q_flo_ref[0]
 
     zero = np.int32(0)
 
@@ -198,22 +198,24 @@ class SortJoinTableV2:
         qlo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         bias = jnp.uint32(0x80000000)
         to_i32 = lambda x: x.astype(jnp.int64).astype(jnp.int32)
-        q_planes = jnp.stack([
-            to_i32(qhi >> 16), to_i32(qhi & 0xFFFF),
-            to_i32(qlo >> 16), to_i32(qlo & 0xFFFF),
-            to_i32(qhi),
-            (qlo ^ bias).astype(jnp.int64).astype(jnp.int32) if False
-            else jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32),
-            jnp.zeros_like(qhi, dtype=jnp.int32),
-            jnp.zeros_like(qhi, dtype=jnp.int32),
-        ], axis=-1).reshape(g, QB, 8)
+        shape = (g, QB, 1)
+        q_args = (
+            to_i32(qhi >> 16).reshape(shape),
+            to_i32(qhi & 0xFFFF).reshape(shape),
+            to_i32(qlo >> 16).reshape(shape),
+            to_i32(qlo & 0xFFFF).reshape(shape),
+            to_i32(qhi).reshape(shape),
+            jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(shape),
+        )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(g,),
             in_specs=[
-                pl.BlockSpec((1, QB, 8),
-                             lambda i, *_: (i, np.int32(0), np.int32(0))),
+                pl.BlockSpec((1, QB, 1),
+                             lambda i, *_: (i, np.int32(0), np.int32(0)))
+                for _ in range(6)
+            ] + [
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -236,7 +238,7 @@ class SortJoinTableV2:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
-        )(seg0, nseg, q_planes, t_planes, f_hi, f_lo)
+        )(seg0, nseg, *q_args, t_planes, f_hi, f_lo)
         return out.reshape(-1)
 
 
