@@ -97,7 +97,10 @@ def _kernel(win_seg0_ref, win_nseg_ref,
             # u32 -> f32 is unsupported in Mosaic; go through i32 (values
             # are 16-bit, exact either way)
             plane = w_planes[plane_idx].astype(jnp.int32).astype(jnp.float32)
-            return jnp.dot(onehot, plane, preferred_element_type=jnp.float32)
+            # HIGHEST: exact f32 MXU path — the default bf16 decomposition
+            # drops bits of 16-bit plane values (verified on v5e)
+            return jnp.dot(onehot, plane, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
         c_hi_a = pull(0)
         c_hi_b = pull(1)
