@@ -13,7 +13,7 @@ import numpy as np
 
 from merfin_tpu.io.compressed import open_read_text, open_write_text
 from merfin_tpu.io.mkdb import KmerDB
-from merfin_tpu.kcore.pack import encode_bases, kmers_from_codes_np, canonical_np
+from merfin_tpu.kcore.pack import encode_bases
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 

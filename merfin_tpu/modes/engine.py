@@ -14,7 +14,7 @@ windows are skipped exactly like windows containing N.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import numpy as np
 

@@ -15,7 +15,6 @@ Reference semantics:
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 
