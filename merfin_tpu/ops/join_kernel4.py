@@ -1,0 +1,240 @@
+"""Sorted-join lookup kernel v4 — 8-bit planes on the fast MXU path.
+
+Lineage: v1 streams + equality (join_kernel.py), v2 adds fence narrowing
+with one-hot MXU row pulls (join_kernel2.py), v3 packs segments and
+double-buffers DMA (join_kernel3.py).  v3 measured MXU-bound: exact f32
+one-hot pulls need Precision.HIGHEST (6 bf16 passes) because 16-bit
+plane values don't fit bf16.  v4 splits every u32 into FOUR u8 planes —
+bf16 represents 0..255 exactly, so DEFAULT (single-pass) matmuls are
+exact — trading 6 slow matmuls for 12 fast ones (~3x).
+
+Also:
+  * records are u8 [n_segs, REC_ROWS, 128]: 8 key planes + 4 value
+    planes + 8 fence piece rows = 12.06 B/key, same as the raw table;
+  * block windows come from a searchsorted over SEGMENT FIRST KEYS
+    (n/8192 entries) — no per-key u64 copy on device at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+QB = 1024
+LANES = 128
+SEG_ROWS = 64
+SEG = SEG_ROWS * LANES            # 8192 entries
+N_KEY_PLANES = 8                  # u64 key as 8 bytes (big-endian pieces)
+N_VAL_PLANES = 4                  # u32 value as 4 bytes
+REC_PLANE_ROWS = (N_KEY_PLANES + N_VAL_PLANES) * SEG_ROWS
+REC_ROWS = REC_PLANE_ROWS + N_KEY_PLANES  # + fence byte rows
+PAD_HI = 0x7FFFFFFF               # pad-key hi word (positive in int32)
+
+
+def _kernel(seg0_ref, nseg_ref,
+            qb0_ref, qb1_ref, qb2_ref, qb3_ref,
+            qb4_ref, qb5_ref, qb6_ref, qb7_ref,   # (1, QB, 1) i32 key bytes
+            q_fhi_ref, q_flo_ref,                 # (1, QB, 1) int32
+            rec_ref,                              # HBM [n_segs, REC_ROWS, 128] u8
+            out_ref,
+            w_rec, sem):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    seg0 = seg0_ref[i]
+    n_seg = nseg_ref[i]
+
+    # query key bytes as f32 columns (QB, 1) each
+    qb = [r[0].astype(jnp.float32)
+          for r in (qb0_ref, qb1_ref, qb2_ref, qb3_ref,
+                    qb4_ref, qb5_ref, qb6_ref, qb7_ref)]
+    q_fhi = q_fhi_ref[0]
+    q_flo = q_flo_ref[0]
+
+    def dma(slot, seg_idx):
+        return pltpu.make_async_copy(
+            rec_ref.at[pl.ds(seg0 + seg_idx, 1)],
+            w_rec.at[pl.ds(slot, 1)],
+            sem.at[slot],
+        )
+
+    dma(np.int32(0), jnp.int32(0)).start()
+
+    c256 = np.int32(256)
+
+    def seg_body(s, acc):
+        slot = jax.lax.rem(s, np.int32(2))
+        next_slot = jax.lax.rem(s + np.int32(1), np.int32(2))
+
+        @pl.when(s + np.int32(1) < n_seg)
+        def _():
+            dma(next_slot, s + np.int32(1)).start()
+
+        dma(slot, s).wait()
+        rec = w_rec[slot]                      # (REC_ROWS, 128) u8
+
+        # fences: reconstruct i32 hi / biased-lo from byte rows
+        def fence_row(j):
+            return rec[REC_PLANE_ROWS + j : REC_PLANE_ROWS + j + 1, :].astype(jnp.int32)
+
+        fh = ((fence_row(0) * c256 + fence_row(1)) * c256
+              + fence_row(2)) * c256 + fence_row(3)
+        fl = ((fence_row(4) * c256 + fence_row(5)) * c256
+              + fence_row(6)) * c256 + fence_row(7)
+        # bias both to preserve unsigned order in signed int32
+        bias = np.int32(-2147483648)
+        fl = fl + bias
+        le = (fh < q_fhi) | ((fh == q_fhi) & (fl <= q_flo))   # (QB, 128)
+        row_q = (jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True,
+                         dtype=jnp.int32) - np.int32(1))
+        row_q = jnp.clip(row_q, np.int32(0), np.int32(SEG_ROWS - 1))
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (QB, SEG_ROWS), 1)
+        onehot = (iota == row_q).astype(jnp.float32)          # (QB, 64)
+
+        def pull(p):
+            plane = rec[p * SEG_ROWS : (p + 1) * SEG_ROWS, :]
+            plane = plane.astype(jnp.int32).astype(jnp.float32)
+            # 0..255 is exact in bf16: single-pass MXU matmul is exact
+            return jnp.dot(onehot, plane, preferred_element_type=jnp.float32)
+
+        eq = (pull(0) == qb[0])
+        for p in range(1, N_KEY_PLANES):
+            eq = eq & (pull(p) == qb[p])                      # (QB, 128)
+
+        v = pull(N_KEY_PLANES).astype(jnp.int32)
+        for p in range(1, N_VAL_PLANES):
+            v = v * c256 + pull(N_KEY_PLANES + p).astype(jnp.int32)
+        val = jnp.where(eq, v, np.int32(0))
+        return acc + jnp.sum(val, axis=1, keepdims=True, dtype=jnp.int32)
+
+    acc = jax.lax.fori_loop(
+        jnp.int32(0), n_seg, seg_body, jnp.zeros((QB, 1), dtype=jnp.int32),
+    )
+    out_ref[0] = acc.astype(jnp.uint32)
+
+
+class SortJoinTableV4:
+    """Device table with u8 plane records + segment-key index."""
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray, k: int):
+        import jax.numpy as jnp
+
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        vals = np.ascontiguousarray(vals, dtype=np.uint32)
+        self.k = int(k)
+        self.n = int(keys.size)
+        pad = ((self.n + SEG - 1) // SEG + 1) * SEG
+        pad = max(2 * SEG, 1 << (pad - 1).bit_length())
+        hi = np.full(pad, PAD_HI, np.uint32)
+        lo = np.full(pad, 0xFFFFFFFF, np.uint32)
+        v = np.zeros(pad, np.uint32)
+        hi[: self.n] = (keys >> np.uint64(32)).astype(np.uint32)
+        lo[: self.n] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        v[: self.n] = vals
+
+        n_segs = pad // SEG
+
+        def bytes_of(x):  # big-endian byte planes of a u32 array
+            return [((x >> (8 * (3 - j))) & 0xFF).astype(np.uint8)
+                    for j in range(4)]
+
+        planes = bytes_of(hi) + bytes_of(lo) + bytes_of(v)
+        rec = np.zeros((n_segs, REC_ROWS, LANES), np.uint8)
+        for p, plane in enumerate(planes):
+            rec[:, p * SEG_ROWS : (p + 1) * SEG_ROWS, :] = (
+                plane.reshape(n_segs, SEG_ROWS, LANES))
+
+        # fence byte rows: first key of each 128-row, lane-padded with
+        # PAD_HI/0xFFFFFFFF pieces (order-safe after kernel reconstruction)
+        rows = pad // LANES
+        f_hi = np.full((n_segs, LANES), PAD_HI, np.uint32)
+        f_lo = np.full((n_segs, LANES), 0xFFFFFFFF, np.uint32)
+        f_hi[:, :SEG_ROWS] = hi.reshape(rows, LANES)[:, 0].reshape(n_segs, SEG_ROWS)
+        f_lo[:, :SEG_ROWS] = lo.reshape(rows, LANES)[:, 0].reshape(n_segs, SEG_ROWS)
+        for j, b in enumerate(bytes_of(f_hi) + bytes_of(f_lo)):
+            rec[:, REC_PLANE_ROWS + j, :] = b
+
+        self.rec = jnp.asarray(rec)
+        # segment index: first key of each segment (u64; tiny)
+        self.seg_first = jnp.asarray(keys[:: SEG][: n_segs]) if self.n else (
+            jnp.zeros(1, jnp.uint64))
+        self.pad = pad
+        self.n_segs = n_segs
+
+    def tree(self):
+        return (self.rec, self.seg_first)
+
+    def lookup_sorted(self, q):
+        return self.lookup_sorted_with(self.tree(), q)
+
+    def lookup_sorted_with(self, tree, q):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        rec, seg_first = tree
+        m = q.shape[0]
+        assert m % QB == 0
+        g = m // QB
+
+        # segment-granular block windows from the tiny segment index:
+        # block i covers segments [seg0, seg0+nseg)
+        bounds_lo = q[::QB]
+        bounds_hi = q[QB - 1 :: QB]
+        seg0 = (jnp.searchsorted(seg_first, bounds_lo, side="right")
+                .astype(jnp.int32) - 1)
+        seg0 = jnp.clip(seg0, 0, max(self.n_segs - 1, 0))
+        seg_end = jnp.searchsorted(seg_first, bounds_hi, side="right").astype(jnp.int32)
+        nseg = jnp.clip(seg_end - seg0, 1, self.n_segs - seg0)
+
+        qhi = (q >> np.uint64(32)).astype(jnp.uint32)
+        qlo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        shape = (g, QB, 1)
+        q_bytes = tuple(
+            ((qhi >> (8 * (3 - j))) & 0xFF).astype(jnp.int32).reshape(shape)
+            for j in range(4)
+        ) + tuple(
+            ((qlo >> (8 * (3 - j))) & 0xFF).astype(jnp.int32).reshape(shape)
+            for j in range(4)
+        )
+        to_i32 = lambda x: x.astype(jnp.int64).astype(jnp.int32)
+        bias = jnp.uint32(0x80000000)
+        q_fhi = to_i32(qhi).reshape(shape)
+        q_flo = jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(shape)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, QB, 1),
+                             lambda i, *_: (i, np.int32(0), np.int32(0)))
+                for _ in range(10)
+            ] + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, QB, 1), lambda i, *_: (i, np.int32(0), np.int32(0))),
+            scratch_shapes=[
+                pltpu.VMEM((2, REC_ROWS, LANES), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+
+        out = pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct((g, QB, 1), jnp.uint32),
+            grid_spec=grid_spec,
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+        )(seg0, nseg, *q_bytes, q_fhi, q_flo, rec)
+        return out.reshape(-1)
+
+
+def _interpret() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
