@@ -31,9 +31,7 @@ PAD_HI = 0x7FFFFFFF               # pad-key hi word (positive in int32)
 
 
 def _kernel(seg0_ref, nseg_ref,
-            qb0_ref, qb1_ref, qb2_ref, qb3_ref,
-            qb4_ref, qb5_ref, qb6_ref, qb7_ref,   # (1, QB, 1) i32 key bytes
-            q_fhi_ref, q_flo_ref,                 # (1, QB, 1) int32
+            q_hi_ref, q_lo_ref,                   # (1, QB) i32 (lo biased)
             rec_ref,                              # HBM [n_segs, REC_ROWS, 128] u8
             out_ref,
             w_rec, sem):
@@ -46,12 +44,23 @@ def _kernel(seg0_ref, nseg_ref,
     seg0 = seg0_ref[i]
     n_seg = nseg_ref[i]
 
-    # query key bytes as f32 columns (QB, 1) each
-    qb = [r[0].astype(jnp.float32)
-          for r in (qb0_ref, qb1_ref, qb2_ref, qb3_ref,
-                    qb4_ref, qb5_ref, qb6_ref, qb7_ref)]
-    q_fhi = q_fhi_ref[0]
-    q_flo = q_flo_ref[0]
+    # One relayout per BLOCK (amortized over its segments): rows -> columns,
+    # then derive the byte planes with in-kernel shifts.  (Shipping ten
+    # pre-split (QB,1) arrays pads 128x in HBM: 2 GB per plane at 4M.)
+    q_fhi = q_hi_ref[0].reshape(QB, 1)            # i32, hi < 2^31
+    q_flo_b = q_lo_ref[0].reshape(QB, 1)          # i32, biased lo
+    bias32 = np.int32(-2147483648)
+    q_lo_u = q_flo_b - bias32                     # wraps back to u32 bit pattern
+    c255 = np.int32(255)
+
+    def byte_col(x, j):
+        return ((x >> np.int32(8 * (3 - j))) & c255).astype(jnp.float32)
+
+    # logical-shift emulation: q_fhi >= 0 so arithmetic shift is fine;
+    # q_lo_u may be negative in i32 — mask after shift handles sign bits
+    qb = [byte_col(q_fhi, j) for j in range(4)] + \
+         [byte_col(q_lo_u, j) for j in range(4)]
+    q_flo = q_flo_b
 
     def dma(slot, seg_idx):
         return pltpu.make_async_copy(
@@ -113,7 +122,7 @@ def _kernel(seg0_ref, nseg_ref,
     acc = jax.lax.fori_loop(
         jnp.int32(0), n_seg, seg_body, jnp.zeros((QB, 1), dtype=jnp.int32),
     )
-    out_ref[0] = acc.astype(jnp.uint32)
+    out_ref[0] = acc.astype(jnp.uint32).reshape(QB)
 
 
 class SortJoinTableV4:
@@ -193,29 +202,21 @@ class SortJoinTableV4:
 
         qhi = (q >> np.uint64(32)).astype(jnp.uint32)
         qlo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        shape = (g, QB, 1)
-        q_bytes = tuple(
-            ((qhi >> (8 * (3 - j))) & 0xFF).astype(jnp.int32).reshape(shape)
-            for j in range(4)
-        ) + tuple(
-            ((qlo >> (8 * (3 - j))) & 0xFF).astype(jnp.int32).reshape(shape)
-            for j in range(4)
-        )
         to_i32 = lambda x: x.astype(jnp.int64).astype(jnp.int32)
         bias = jnp.uint32(0x80000000)
-        q_fhi = to_i32(qhi).reshape(shape)
-        q_flo = jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(shape)
+        q_hi_arg = to_i32(qhi).reshape(g, QB)
+        q_lo_arg = jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(g, QB)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(g,),
             in_specs=[
-                pl.BlockSpec((1, QB, 1),
-                             lambda i, *_: (i, np.int32(0), np.int32(0)))
-                for _ in range(10)
-            ] + [pl.BlockSpec(memory_space=pl.ANY)],
+                pl.BlockSpec((1, QB), lambda i, *_: (i, np.int32(0))),
+                pl.BlockSpec((1, QB), lambda i, *_: (i, np.int32(0))),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
             out_specs=pl.BlockSpec(
-                (1, QB, 1), lambda i, *_: (i, np.int32(0), np.int32(0))),
+                (1, QB), lambda i, *_: (i, np.int32(0))),
             scratch_shapes=[
                 pltpu.VMEM((2, REC_ROWS, LANES), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -224,13 +225,13 @@ class SortJoinTableV4:
 
         out = pl.pallas_call(
             _kernel,
-            out_shape=jax.ShapeDtypeStruct((g, QB, 1), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((g, QB), jnp.uint32),
             grid_spec=grid_spec,
             interpret=_interpret(),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
-        )(seg0, nseg, *q_bytes, q_fhi, q_flo, rec)
+        )(seg0, nseg, q_hi_arg, q_lo_arg, rec)
         return out.reshape(-1)
 
 
