@@ -31,7 +31,7 @@ PAD_HI = 0x7FFFFFFF               # pad-key hi word (positive in int32)
 
 
 def _kernel(seg0_ref, nseg_ref,
-            q_hi_ref, q_lo_ref,                   # (1, QB) i32 (lo biased)
+            q_hi_ref, q_lo_ref,                   # (1, 1, QB) i32 (lo biased)
             rec_ref,                              # HBM [n_segs, REC_ROWS, 128] u8
             out_ref,
             w_rec, sem):
@@ -47,7 +47,7 @@ def _kernel(seg0_ref, nseg_ref,
     # One relayout per BLOCK (amortized over its segments): rows -> columns,
     # then derive the byte planes with in-kernel shifts.  (Shipping ten
     # pre-split (QB,1) arrays pads 128x in HBM: 2 GB per plane at 4M.)
-    q_fhi = q_hi_ref[0].reshape(QB, 1)            # i32, hi < 2^31
+    q_fhi = q_hi_ref[0].reshape(QB, 1)            # i32, hi < 2^31 (relayout)
     q_flo_b = q_lo_ref[0].reshape(QB, 1)          # i32, biased lo
     bias32 = np.int32(-2147483648)
     q_lo_u = q_flo_b - bias32                     # wraps back to u32 bit pattern
@@ -122,7 +122,7 @@ def _kernel(seg0_ref, nseg_ref,
     acc = jax.lax.fori_loop(
         jnp.int32(0), n_seg, seg_body, jnp.zeros((QB, 1), dtype=jnp.int32),
     )
-    out_ref[0] = acc.astype(jnp.uint32).reshape(QB)
+    out_ref[0] = acc.astype(jnp.uint32).reshape(1, QB)
 
 
 class SortJoinTableV4:
@@ -204,19 +204,21 @@ class SortJoinTableV4:
         qlo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         to_i32 = lambda x: x.astype(jnp.int64).astype(jnp.int32)
         bias = jnp.uint32(0x80000000)
-        q_hi_arg = to_i32(qhi).reshape(g, QB)
-        q_lo_arg = jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(g, QB)
+        q_hi_arg = to_i32(qhi).reshape(g, 1, QB)
+        q_lo_arg = jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(g, 1, QB)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(g,),
             in_specs=[
-                pl.BlockSpec((1, QB), lambda i, *_: (i, np.int32(0))),
-                pl.BlockSpec((1, QB), lambda i, *_: (i, np.int32(0))),
+                pl.BlockSpec((1, 1, QB),
+                             lambda i, *_: (i, np.int32(0), np.int32(0))),
+                pl.BlockSpec((1, 1, QB),
+                             lambda i, *_: (i, np.int32(0), np.int32(0))),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, QB), lambda i, *_: (i, np.int32(0))),
+                (1, 1, QB), lambda i, *_: (i, np.int32(0), np.int32(0))),
             scratch_shapes=[
                 pltpu.VMEM((2, REC_ROWS, LANES), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -225,7 +227,7 @@ class SortJoinTableV4:
 
         out = pl.pallas_call(
             _kernel,
-            out_shape=jax.ShapeDtypeStruct((g, QB), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((g, 1, QB), jnp.uint32),
             grid_spec=grid_spec,
             interpret=_interpret(),
             compiler_params=pltpu.CompilerParams(
