@@ -69,14 +69,22 @@ class KstarEngine:
         self.sortjoin = bool(sortjoin) and (k % 2 == 1)
         if self.sortjoin:
             from merfin_tpu.ops.join_kernel import SortJoinTable, QB
+            from merfin_tpu.ops.join_kernel4 import SortJoinTableV4
 
             assert (self.chunk * self.batch) % QB == 0
-            self._sj_read = SortJoinTable(
-                np.asarray(read_lookup.keys)[: read_lookup.n],
-                np.asarray(read_lookup.vals)[: read_lookup.n], k)
-            self._sj_asm = SortJoinTable(
-                np.asarray(asm_lookup.keys)[: asm_lookup.n],
-                np.asarray(asm_lookup.vals)[: asm_lookup.n], k)
+
+            def make(lookup):
+                keys = np.asarray(lookup.keys)[: lookup.n]
+                vals = np.asarray(lookup.vals)[: lookup.n]
+                # v1 wins when the table/query ratio per dispatch is small
+                # (its cost is QB x window); v4's fence narrowing scales
+                # flat with table size (docs/PERF.md measurements).
+                ratio = lookup.n / max(self.chunk * self.batch, 1)
+                cls = SortJoinTable if ratio <= 2 else SortJoinTableV4
+                return cls(keys, vals, k)
+
+            self._sj_read = make(read_lookup)
+            self._sj_asm = make(asm_lookup)
 
         # Table/value-map arrays flow through jit as ARGUMENTS so the
         # compiled programs are table-independent (closure-captured
