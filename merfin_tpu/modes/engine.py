@@ -58,10 +58,14 @@ class KstarEngine:
         self.peak = float(peak)
         self.chunk = chunk
         self.batch = batch
+        from merfin_tpu.score.bin_table import BinTable
+
         # getK evaluated exactly on host per raw value (TPU f64 is ~48-bit;
-        # see merfin_tpu/score/value_map.py)
+        # see merfin_tpu/score/value_map.py); same for histogram bins
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
+        self.bin_table = BinTable()
         self.overflow_values = 0
+        self.bin_fallbacks = 0
 
         # The gather-free sorted-join path (Pallas) — odd k only: even-k
         # palindromic mers need the fmer+rmer doubling, which cannot ride
@@ -101,7 +105,8 @@ class KstarEngine:
         return tables + (self.value_map.device_arrays(),)
 
     def _hist_step(self, codes):
-        return self._hist_step_impl(codes, *self._step_args())
+        return self._hist_step_impl(codes, *self._step_args(),
+                                    self.bin_table.device_arrays())
 
     def _dump_step(self, codes):
         # dump always uses the gather tables (it needs positional output)
@@ -145,7 +150,7 @@ class KstarEngine:
         asm_k = jnp.where(valid_s, asm_k, 0.0)
         return read_k, asm_k, prob, valid_s, overflow
 
-    def _hist_chunk(self, codes, r_tree, a_tree, vm):
+    def _hist_chunk(self, codes, r_tree, a_tree, vm, bins):
         """codes uint8 [B, C + k - 1] -> per-batch reduced hist stats.
 
         Mirrors processHistogram (merfin-histogram.C:36-92): invalid
@@ -171,10 +176,9 @@ class KstarEngine:
         kmissing = jnp.sum(missing)
         kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
 
-        safe_r = jnp.where(read_k > 0, read_k, 1.0)
-        safe_a = jnp.where(asm_k > 0, asm_k, 1.0)
-        undr_idx = jnp.trunc((asm_k / safe_r - 1.0 + 0.1) / 0.2).astype(jnp.int32)
-        over_idx = jnp.trunc((read_k / safe_a - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+        undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
+            read_k, asm_k, bins)
+        fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
 
         max_idx = jnp.maximum(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),
@@ -185,7 +189,8 @@ class KstarEngine:
 
         undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
         over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
-        return kasm, kmissing, kover, undr_hist, over_hist, max_idx, overflow
+        return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
+                overflow, fallbacks)
 
     def _dump_chunk(self, codes, r_tree, a_tree, vm):
         """codes uint8 [C + k - 1] -> per-position readK/asmK/K* + counts.
@@ -235,8 +240,10 @@ class KstarEngine:
         return stats, undr, over
 
     def _hist_apply(self, codes, stats: SeqStats, undr, over) -> None:
-        kasm, kmissing, kover, uh, oh, max_idx, overflow = self._hist_step(codes)
+        (kasm, kmissing, kover, uh, oh, max_idx,
+         overflow, fallbacks) = self._hist_step(codes)
         self.overflow_values += int(overflow)
+        self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= NBINS:
             raise RuntimeError(
                 f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "

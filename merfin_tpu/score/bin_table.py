@@ -1,0 +1,71 @@
+"""Host-precomputed histogram bin tables — exact C float semantics on TPU.
+
+The -hist bin index trunc((asmK/readK - 1 + 0.1) / 0.2)
+(merfin-histogram.C:72,85) is decided by IEEE f64 division; this TPU's
+emulated f64 (~48-bit) can land on the other side of a truncation
+boundary for ratios like 3/2 (w = 3.0000000000000004 in IEEE).  Both
+readK and asmK are integer-valued, so the whole decision is tabulated on
+the host with exact semantics and gathered on device:
+
+    undr_table[r, a] = C bin of (readK=r, asmK=a)   r in [0,RMAX], a in [0,AMAX]
+    over_table[a, r] = C bin of (readK=r, asmK=a)   (the readK>asmK side)
+
+Out-of-range pairs (huge ratios, vanishingly rare) fall back to the
+device float expression and are counted so callers can warn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RMAX = 64       # readK range covered exactly (peak-normalized copies)
+AMAX = 8192     # asmK range covered exactly
+
+
+class BinTable:
+    def __init__(self, rmax: int = RMAX, amax: int = AMAX):
+        self.rmax = rmax
+        self.amax = amax
+        r = np.arange(rmax + 1, dtype=np.float64)[:, None]
+        a = np.arange(amax + 1, dtype=np.float64)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            undr = np.trunc((a / r - 1.0 + 0.1) / 0.2)
+            over = np.trunc((r / a - 1.0 + 0.1) / 0.2)
+        self.undr_host = np.nan_to_num(undr, nan=0.0, posinf=0.0).astype(np.int32)
+        self.over_host = np.nan_to_num(over, nan=0.0, posinf=0.0).astype(np.int32)
+
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(self.undr_host.reshape(-1)),
+                jnp.asarray(self.over_host.reshape(-1)))
+
+    def lookup_jnp(self, read_k, asm_k, arrays=None):
+        """(undr_idx, over_idx, in_range) for integer-valued f64 inputs.
+
+        Out-of-range entries return the device-float fallback index and
+        in_range False.
+        """
+        import jax.numpy as jnp
+
+        undr_t, over_t = arrays if arrays is not None else self.device_arrays()
+        r = read_k.astype(jnp.int32)
+        a = asm_k.astype(jnp.int32)
+        in_range = (
+            (read_k <= self.rmax) & (asm_k <= self.amax)
+            & (read_k == r.astype(read_k.dtype))     # integer-valued
+            & (asm_k == a.astype(asm_k.dtype))
+        )
+        rc = jnp.clip(r, 0, self.rmax)
+        ac = jnp.clip(a, 0, self.amax)
+        exact_undr = undr_t[rc * (self.amax + 1) + ac]
+        exact_over = over_t[rc * (self.amax + 1) + ac]
+
+        safe_r = jnp.where(read_k > 0, read_k, 1.0)
+        safe_a = jnp.where(asm_k > 0, asm_k, 1.0)
+        fb_undr = jnp.trunc((asm_k / safe_r - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+        fb_over = jnp.trunc((read_k / safe_a - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+
+        undr_idx = jnp.where(in_range, exact_undr, fb_undr)
+        over_idx = jnp.where(in_range, exact_over, fb_over)
+        return undr_idx, over_idx, in_range

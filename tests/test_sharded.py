@@ -83,7 +83,7 @@ def test_multichip_hist_matches_single_device(dbs):
     # single-device reference
     engine = KstarEngine(build_lookup(read_db), build_lookup(asm_db), K, peak,
                          chunk=chunk, batch=2)
-    kasm1, kmis1, kover1, undr1, over1, _, _ = engine._hist_step(b)
+    kasm1, kmis1, kover1, undr1, over1, _, _, _ = engine._hist_step(b)
 
     assert int(kasm) == int(kasm1)
     assert int(kmissing) == int(kmis1)
