@@ -27,6 +27,7 @@ def make_hist_step(
     asm_lookup: ShardedLookup,
     k: int,
     value_map,
+    bin_table=None,
 ):
     """Build a jitted step: codes uint8 [B, C + k - 1] (B sharded over
     "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS]).
@@ -39,8 +40,11 @@ def make_hist_step(
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    from merfin_tpu.score.bin_table import BinTable
+
     vcap = value_map.vcap
     rk_host, pr_host = value_map.read_k_host, value_map.prob_host
+    bin_table = bin_table or BinTable()
 
     @partial(
         shard_map,
@@ -49,11 +53,13 @@ def make_hist_step(
             P("t", None), P("t", None),   # read table shard
             P("t", None), P("t", None),   # asm table shard
             P(), P(),                     # value map (replicated)
+            P(), P(),                     # bin tables (replicated)
             P("d", None),                 # codes: chunk batch sharded on d
         ),
         out_specs=(P(), P(), P(), P(), P()),
     )
-    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map, codes):
+    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
+             undr_t, over_t, codes):
         fmer, rmer, valid = kmer_windows(codes, k)
         canon, mult = canonical_and_mult(fmer, rmer)
 
@@ -77,10 +83,8 @@ def make_hist_step(
         kmissing = jnp.sum(missing)
         kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
 
-        safe_r = jnp.where(read_k > 0, read_k, 1.0)
-        safe_a = jnp.where(asm_k > 0, asm_k, 1.0)
-        undr_idx = jnp.trunc((asm_k / safe_r - 1.0 + 0.1) / 0.2).astype(jnp.int32)
-        over_idx = jnp.trunc((read_k / safe_a - 1.0 + 0.1) / 0.2).astype(jnp.int32)
+        undr_idx, over_idx, _ = bin_table.lookup_jnp(
+            read_k, asm_k, (undr_t, over_t))
         undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
         over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
         undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
@@ -99,12 +103,13 @@ def make_hist_step(
 
     rk_dev = jnp.asarray(rk_host)
     pr_dev = jnp.asarray(pr_host)
+    undr_dev, over_dev = bin_table.device_arrays()
 
     def run(codes):
         return step(
             read_lookup.keys, read_lookup.vals,
             asm_lookup.keys, asm_lookup.vals,
-            rk_dev, pr_dev,
+            rk_dev, pr_dev, undr_dev, over_dev,
             codes,
         )
 
