@@ -104,6 +104,74 @@ def score_path_from_values(
     return PathScore(num_m, kstr, o_delta - n_delta)
 
 
+def _scores_batched(
+    paths: list[VarPath],
+    k: int,
+    read_v_parts: list[np.ndarray],
+    asm_v_parts: list[np.ndarray],
+    valid_parts: list[np.ndarray],
+    peak: float,
+    prob_table: ProbTable | None,
+    filter_mode: bool,
+) -> list[PathScore]:
+    """Vectorized-across-paths scoring: one padded [P, Lmax] pass instead
+    of a numpy call-chain per path (the host hot loop at HG002 scale).
+    Semantics identical to score_path_from_values (tested against it)."""
+    P = len(paths)
+    lens = np.asarray([v.shape[0] for v in read_v_parts], dtype=np.int64)
+    lmax = int(lens.max()) if P else 0
+    if lmax == 0:
+        return [PathScore(0, np.zeros(0), np.zeros(0)) for _ in paths]
+
+    read_v = np.zeros((P, lmax), np.uint64)
+    asm_v = np.zeros((P, lmax), np.uint64)
+    valid = np.zeros((P, lmax), bool)
+    inside = np.arange(lmax)[None, :] < lens[:, None]
+    for i in range(P):
+        n = lens[i]
+        read_v[i, :n] = np.where(valid_parts[i], read_v_parts[i], 0)
+        asm_v[i, :n] = np.where(valid_parts[i], asm_v_parts[i], 0)
+        valid[i, :n] = valid_parts[i]
+
+    read_k, asm_k, prob = get_k_np(read_v, asm_v, peak, prob_table)
+    read_k = np.where(valid, read_k, 0.0)
+    asm_k = np.where(valid, asm_k, 0.0)
+    num_m = np.count_nonzero((read_k == 0) & inside, axis=1)
+
+    if filter_mode:
+        return [PathScore(int(num_m[i]), np.zeros(0), np.zeros(0))
+                for i in range(P)]
+
+    # stale-prob forward fill (see score_path_from_values)
+    vi = np.where(valid, np.arange(lmax)[None, :], -1)
+    last = np.maximum.accumulate(vi, axis=1)
+    rows = np.arange(P)[:, None]
+    prob = np.where(last >= 0,
+                    prob[rows, np.clip(last, 0, None)], 1.0)
+
+    o_delta = np.abs(read_k - asm_k) * prob
+
+    idx = np.arange(lmax, dtype=np.int64)[None, :]
+    adjust = np.zeros((P, lmax), bool)
+    for i, p in enumerate(paths):
+        for idx_path, len_path, gt_path in zip(p.idx_path, p.len_path, p.gt_path):
+            if gt_path <= 0 or idx_path + 1 < k:   # uint32 underflow quirk
+                continue
+            adjust[i] |= ((idx[0] >= idx_path + 1 - k)
+                          & (idx[0] < idx_path + len_path + k))
+    asm_k = asm_k + adjust
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        over = read_k / asm_k - 1.0
+        under = asm_k / read_k - 1.0
+    kstr = np.where(read_k == 0, -1.0, np.where(read_k > asm_k, over, under))
+    n_delta = np.abs(read_k - asm_k) * prob
+    dkstr = o_delta - n_delta
+
+    return [PathScore(int(num_m[i]), kstr[i, : lens[i]], dkstr[i, : lens[i]])
+            for i in range(P)]
+
+
 def score_path_groups(
     groups: list[list[VarPath]],
     k: int,
@@ -118,11 +186,13 @@ def score_path_groups(
     lookup_* map a uint64 canonical-mer numpy array -> uint64 value array
     (0 for absent); they may run on device (DeviceLookup) or host.
     """
+    all_paths: list[VarPath] = []
     queries: list[np.ndarray] = []
     metas: list[tuple[np.ndarray, np.ndarray]] = []  # (mult, valid) per path
     for paths in groups:
         for p in paths:
             canon, mult, valid = path_kmer_query(p.seq, k)
+            all_paths.append(p)
             queries.append(canon)
             metas.append((mult, valid))
 
@@ -133,22 +203,24 @@ def score_path_groups(
     else:
         read_flat = asm_flat = np.zeros(0, np.uint64)
 
-    out: list[list[PathScore]] = []
+    read_parts, asm_parts, valid_parts = [], [], []
     off = 0
+    for mult, valid in metas:
+        n = mult.shape[0]
+        read_parts.append(read_flat[off : off + n] * mult)
+        asm_parts.append(asm_flat[off : off + n] * mult)
+        valid_parts.append(valid)
+        off += n
+
+    flat_scores = _scores_batched(
+        all_paths, k, read_parts, asm_parts, valid_parts,
+        peak, prob_table, filter_mode)
+
+    out: list[list[PathScore]] = []
     qi = 0
     for paths in groups:
-        scores: list[PathScore] = []
-        for p in paths:
-            mult, valid = metas[qi]
-            n = mult.shape[0]
-            rv = read_flat[off : off + n] * mult
-            av = asm_flat[off : off + n] * mult
-            scores.append(
-                score_path_from_values(p, k, rv, av, valid, peak, prob_table, filter_mode)
-            )
-            off += n
-            qi += 1
-        out.append(scores)
+        out.append(flat_scores[qi : qi + len(paths)])
+        qi += len(paths)
     return out
 
 
