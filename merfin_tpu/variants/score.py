@@ -186,31 +186,41 @@ def score_path_groups(
     lookup_* map a uint64 canonical-mer numpy array -> uint64 value array
     (0 for absent); they may run on device (DeviceLookup) or host.
     """
-    all_paths: list[VarPath] = []
-    queries: list[np.ndarray] = []
-    metas: list[tuple[np.ndarray, np.ndarray]] = []  # (mult, valid) per path
-    for paths in groups:
-        for p in paths:
-            canon, mult, valid = path_kmer_query(p.seq, k)
-            all_paths.append(p)
-            queries.append(canon)
-            metas.append((mult, valid))
+    # Pack every path's bases into ONE code stream with k-1 separators and
+    # extract all k-mers in a single vectorized pass (a per-path
+    # kmers_from_codes_np call costs ~100us of numpy overhead; at millions
+    # of candidate paths that dominated the host side).
+    all_paths: list[VarPath] = [p for paths in groups for p in paths]
+    sep = np.full(k - 1, 4, np.uint8)
+    pieces: list[np.ndarray] = []
+    starts = np.zeros(len(all_paths) + 1, dtype=np.int64)
+    pos = 0
+    for i, p in enumerate(all_paths):
+        codes = encode_bases(p.seq)
+        pieces.append(codes)
+        pieces.append(sep)
+        starts[i] = pos
+        pos += codes.shape[0] + (k - 1)
+    starts[len(all_paths)] = pos
 
-    if queries:
-        flat = np.concatenate(queries)
-        read_flat = np.asarray(lookup_read(flat), dtype=np.uint64)
-        asm_flat = np.asarray(lookup_asm(flat), dtype=np.uint64)
+    if all_paths:
+        stream = np.concatenate(pieces)
+        fmer, rmer, s_valid = kmers_from_codes_np(stream, k)
+        canon = np.minimum(fmer, rmer)
+        mult_all = np.where(fmer == rmer, 2, 1).astype(np.uint64)
+        read_all = np.asarray(lookup_read(canon), dtype=np.uint64) * mult_all
+        asm_all = np.asarray(lookup_asm(canon), dtype=np.uint64) * mult_all
     else:
-        read_flat = asm_flat = np.zeros(0, np.uint64)
+        read_all = asm_all = np.zeros(0, np.uint64)
+        s_valid = np.zeros(0, bool)
 
     read_parts, asm_parts, valid_parts = [], [], []
-    off = 0
-    for mult, valid in metas:
-        n = mult.shape[0]
-        read_parts.append(read_flat[off : off + n] * mult)
-        asm_parts.append(asm_flat[off : off + n] * mult)
-        valid_parts.append(valid)
-        off += n
+    for i, p in enumerate(all_paths):
+        n = max(0, len(p.seq) - k + 1)
+        a = starts[i]
+        read_parts.append(read_all[a : a + n])
+        asm_parts.append(asm_all[a : a + n])
+        valid_parts.append(s_valid[a : a + n])
 
     flat_scores = _scores_batched(
         all_paths, k, read_parts, asm_parts, valid_parts,
