@@ -168,6 +168,20 @@ def count_sequences(
     return acc.result()
 
 
+def pack_stream(codes: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+    """Concatenate per-sequence code ranges with k-1 invalid separators —
+    fully vectorized (one fancy-index copy instead of a python loop per
+    read; a 30x-coverage read set is tens of millions of sequences)."""
+    n_seq = offsets.shape[0] - 1
+    total = int(offsets[-1])
+    out = np.full(total + (n_seq + 1) * (k - 1), 4, dtype=np.uint8)
+    lengths = np.diff(offsets)
+    seq_of_base = np.repeat(np.arange(n_seq, dtype=np.int64), lengths)
+    idx_out = np.arange(total, dtype=np.int64) + (k - 1) * seq_of_base
+    out[idx_out] = codes[:total]
+    return out
+
+
 def count_files(
     paths: list[str],
     k: int,
@@ -177,9 +191,22 @@ def count_files(
     log=sys.stderr,
 ) -> KmerDB:
     """Count k-mers of FASTA/FASTQ files into a new MKDB."""
+    from merfin_tpu import native
+    from merfin_tpu.io.compressed import open_read
+    from merfin_tpu.io.fasta import CodedSequence
+
     def all_seqs():
         for p in paths:
-            yield from SeqFile(p).iter_coded()
+            with open_read(p) as f:
+                data = f.read()
+            parsed = native.parse_seqs(data) if data[:1] in (b">", b"@") else None
+            if parsed is not None:
+                _, codes, offsets = parsed
+                # one pre-packed pseudo-sequence: the packer in
+                # count_sequences sees a single long input
+                yield CodedSequence("__packed__", pack_stream(codes, offsets, k))
+            else:
+                yield from SeqFile(p).iter_coded()
 
     keys, vals, total = count_sequences(all_seqs(), k, chunk=chunk,
                                         use_device=use_device, log=log)
