@@ -54,13 +54,26 @@ def main() -> int:
 
     n_reads = args.length * args.coverage // args.read_len
     starts = rng.integers(0, args.length - args.read_len, size=n_reads)
-    with open(f"{args.outdir}/reads.fasta", "w") as f:
-        for i, s in enumerate(starts):
-            r = genome[s : s + args.read_len].copy()
-            for _ in range(rng.poisson(args.read_error * args.read_len)):
-                j = rng.integers(0, args.read_len)
-                r[j] = alt_of.get(r[j], 65)
-            f.write(f">r{i}\n{r.tobytes().decode()}\n")
+    rl = args.read_len
+    alt_lut = np.arange(256, dtype=np.uint8)
+    for a, b in alt_of.items():
+        alt_lut[a] = b
+    with open(f"{args.outdir}/reads.fasta", "wb") as f:
+        batch = 200_000
+        for lo in range(0, n_reads, batch):
+            st = starts[lo : lo + batch]
+            reads = genome[st[:, None] + np.arange(rl)[None, :]].copy()
+            errs = rng.random(reads.shape) < args.read_error
+            reads[errs] = alt_lut[reads[errs]]
+            headers = np.char.add(
+                np.char.add(">r", np.arange(lo, lo + st.size).astype(str)), "\n")
+            block = bytearray()
+            rb = reads.tobytes()
+            for i, h in enumerate(headers):
+                block += h.encode()
+                block += rb[i * rl : (i + 1) * rl]
+                block += b"\n"
+            f.write(block)
 
     # candidate VCF: every true locus gets all three alternative bases
     # (polish must pick the right one) + spurious calls elsewhere
