@@ -145,7 +145,13 @@ def _usage() -> None:
         "         -output   <output>        \n\n"
         "  TPU-native reimplementation of merfin; same report types:\n"
         "  -filter | -polish | -better | -strict | -loose | -hist | -dump | -completeness\n"
-        "  Databases are MKDB directories (build with: merfin-tpu count k=21 in.fq output db).\n\n"
+        "  Plus all reference options: -seqmers -min -max -threads -memory\n"
+        "  -nosplit -comb -debug -skipMissing\n"
+        "  Extensions: -resume (checkpointed restart), -mesh DxT (shard the\n"
+        "  tables over a device mesh), -sortjoin/-nosortjoin (Pallas join\n"
+        "  kernel for -hist; auto on accelerators).\n"
+        "  Databases are MKDB directories (build with: merfin-tpu count k=21 in.fq output db);\n"
+        "  import a meryl db via its text dump: merfin-tpu import dump.txt output=db.\n\n"
     )
 
 
