@@ -1,6 +1,11 @@
 """Multi-device K* engine — same driver interface as KstarEngine, but the
 table lives sharded across the mesh ("t" axis) and chunk batches ride the
-"d" axis.  run_hist() accepts either engine unchanged.
+"d" axis.  run_hist()/run_dump() accept either engine unchanged.
+
+Correctness: identical results to the single-device engine including the
+hostile edges — ValueMap overflow values take the counted device fallback
+and out-of-table histogram bins are counted, with the same NBINS guard
+(modes/engine.py:_hist_apply).
 """
 
 from __future__ import annotations
@@ -9,7 +14,7 @@ import numpy as np
 
 from merfin_tpu.config import ensure_x64
 from merfin_tpu.modes.engine import NBINS, PAD_CODE, SeqStats
-from merfin_tpu.parallel.multichip import make_hist_step
+from merfin_tpu.parallel.multichip import make_hist_step, make_dump_step
 from merfin_tpu.parallel.sharded import ShardedLookup
 from merfin_tpu.score.kstar import ProbTable
 from merfin_tpu.score.value_map import ValueMap
@@ -38,9 +43,26 @@ class ShardedKstarEngine:
         self.data = mesh.shape["d"]
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
         self.overflow_values = 0
+        self.bin_fallbacks = 0
+        self._read_lookup = read_lookup
+        self._asm_lookup = asm_lookup
         self._step = make_hist_step(mesh, read_lookup, asm_lookup, k, self.value_map)
+        self._dump_step = None   # built on first dump_sequence call
         self._sharding = NamedSharding(mesh, P("d", None))
         self._put = jax.device_put
+
+    def _batches_of(self, codes: np.ndarray):
+        """Yield ([B, C + k - 1] batch, row starts) covering every window."""
+        C, k, B = self.chunk, self.k, self.data
+        n_pos = codes.shape[0] - k + 1
+        starts = list(range(0, max(n_pos, 1), C))
+        for gi in range(0, len(starts), B):
+            batch = np.full((B, C + k - 1), PAD_CODE, dtype=np.uint8)
+            group = starts[gi : gi + B]
+            for row, start in enumerate(group):
+                piece = codes[start : start + C + k - 1]
+                batch[row, : piece.shape[0]] = piece
+            yield batch, group
 
     def hist_sequence(self, codes: np.ndarray):
         """Full -hist stats for one sequence's code array (mirrors
@@ -51,19 +73,40 @@ class ShardedKstarEngine:
         if codes.shape[0] < self.k:
             return stats, undr, over
 
-        C, k, B = self.chunk, self.k, self.data
-        n_pos = codes.shape[0] - k + 1
-        starts = list(range(0, n_pos, C))
-        for gi in range(0, len(starts), B):
-            batch = np.full((B, C + k - 1), PAD_CODE, dtype=np.uint8)
-            for row, start in enumerate(starts[gi : gi + B]):
-                piece = codes[start : start + C + k - 1]
-                batch[row, : piece.shape[0]] = piece
-            kasm, kmissing, kover, uh, oh = self._step(
-                self._put(batch, self._sharding))
+        for batch, _ in self._batches_of(codes):
+            (kasm, kmissing, kover, uh, oh, max_idx,
+             overflow, fallbacks) = self._step(self._put(batch, self._sharding))
+            self.overflow_values += int(overflow)
+            self.bin_fallbacks += int(fallbacks)
+            if int(max_idx) >= NBINS:
+                raise RuntimeError(
+                    f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
+                    "increase merfin_tpu.modes.engine.NBINS"
+                )
             stats.kasm += int(kasm)
             stats.kmissing += int(kmissing)
             stats.kover_cpy += float(kover)
             undr += np.asarray(uh)
             over += np.asarray(oh)
         return stats, undr, over
+
+    def dump_sequence(self, codes: np.ndarray):
+        """Yield (start, readK, asmK, kmetric, kasm, kmissing) per chunk —
+        same contract as KstarEngine.dump_sequence, in input order."""
+        if codes.shape[0] < self.k:
+            return
+        if self._dump_step is None:
+            self._dump_step = make_dump_step(
+                self.mesh, self._read_lookup, self._asm_lookup,
+                self.k, self.value_map)
+        n_pos = codes.shape[0] - self.k + 1
+        for batch, group in self._batches_of(codes):
+            rk, ak, km, kasm, kmis, overflow = self._dump_step(
+                self._put(batch, self._sharding))
+            self.overflow_values += int(overflow)
+            rk, ak, km = np.asarray(rk), np.asarray(ak), np.asarray(km)
+            kasm, kmis = np.asarray(kasm), np.asarray(kmis)
+            for row, start in enumerate(group):
+                n = min(self.chunk, n_pos - start)
+                yield (start, rk[row, :n], ak[row, :n], km[row, :n],
+                       int(kasm[row]), int(kmis[row]))

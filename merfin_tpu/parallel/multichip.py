@@ -8,6 +8,12 @@ Per-(chunk, kmer) values come from a psum over "t"; per-device partial
 histograms/counters then psum over BOTH axes into replicated globals —
 exactly the reference's writer-thread merge (merfin-histogram.C:110-124)
 as a collective reduction.
+
+Correctness contract: the sharded steps compute the SAME function as the
+single-device engine (modes/engine.py) on hostile inputs too — raw values
+above the ValueMap cap take the counted device-float fallback, and
+histogram bins outside the exact tables take the counted float fallback
+with the NBINS guard surfaced to the caller.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ import numpy as np
 
 from merfin_tpu.modes.engine import NBINS
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
+from merfin_tpu.ops.score_ops import k_metric_jnp
 from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
 
 
@@ -30,10 +37,13 @@ def make_hist_step(
     bin_table=None,
 ):
     """Build a jitted step: codes uint8 [B, C + k - 1] (B sharded over
-    "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS]).
+    "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS],
+    max_idx, overflow, fallbacks).
 
     value_map: merfin_tpu.score.value_map.ValueMap — getK precomputed on
-    the host (exact) and gathered on device.
+    the host (exact) and gathered on device; raw values above the cap use
+    the counted device-float fallback (value_map.lookup_jnp), identical to
+    the single-device path (modes/engine.py:_lookup_kvals).
     """
     import jax
     import jax.numpy as jnp
@@ -42,8 +52,6 @@ def make_hist_step(
 
     from merfin_tpu.score.bin_table import BinTable
 
-    vcap = value_map.vcap
-    rk_host, pr_host = value_map.read_k_host, value_map.prob_host
     bin_table = bin_table or BinTable()
 
     @partial(
@@ -56,7 +64,7 @@ def make_hist_step(
             P(), P(),                     # bin tables (replicated)
             P("d", None),                 # codes: chunk batch sharded on d
         ),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
     )
     def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
              undr_t, over_t, codes):
@@ -65,12 +73,10 @@ def make_hist_step(
 
         read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
         asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
-        read_v = (read_v.astype(jnp.uint64) * mult).astype(jnp.int64)
+        read_v = read_v.astype(jnp.uint64) * mult
         asm_v = asm_v.astype(jnp.uint64) * mult
 
-        idx = jnp.minimum(read_v, vcap)
-        read_k = rk_map[idx]
-        prob = pr_map[idx]
+        read_k, prob, overflow = value_map.lookup_jnp(read_v, (rk_map, pr_map))
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid, read_k, 0.0)
         asm_k = jnp.where(valid, asm_k, 0.0)
@@ -83,8 +89,13 @@ def make_hist_step(
         kmissing = jnp.sum(missing)
         kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
 
-        undr_idx, over_idx, _ = bin_table.lookup_jnp(
+        undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
             read_k, asm_k, (undr_t, over_t))
+        fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
+        max_idx = jnp.maximum(
+            jnp.max(jnp.where(is_undr, undr_idx, 0)),
+            jnp.max(jnp.where(is_over, over_idx, 0)),
+        )
         undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
         over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
         undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
@@ -99,10 +110,14 @@ def make_hist_step(
         kover = jax.lax.psum(kover, "d")
         undr_hist = jax.lax.psum(undr_hist, "d")
         over_hist = jax.lax.psum(over_hist, "d")
-        return kasm, kmissing, kover, undr_hist, over_hist
+        max_idx = jax.lax.pmax(max_idx, "d")
+        overflow = jax.lax.psum(overflow, "d")
+        fallbacks = jax.lax.psum(fallbacks, "d")
+        return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
+                overflow, fallbacks)
 
-    rk_dev = jnp.asarray(rk_host)
-    pr_dev = jnp.asarray(pr_host)
+    rk_dev = jnp.asarray(value_map.read_k_host)
+    pr_dev = jnp.asarray(value_map.prob_host)
     undr_dev, over_dev = bin_table.device_arrays()
 
     def run(codes):
@@ -111,6 +126,73 @@ def make_hist_step(
             asm_lookup.keys, asm_lookup.vals,
             rk_dev, pr_dev, undr_dev, over_dev,
             codes,
+        )
+
+    return jax.jit(run)
+
+
+def make_dump_step(
+    mesh,
+    read_lookup: ShardedLookup,
+    asm_lookup: ShardedLookup,
+    k: int,
+    value_map,
+):
+    """Build a jitted -dump step: codes uint8 [B, C + k - 1] (B sharded
+    over "d") -> per-position (readK, asmK, K*) arrays [B, C] sharded over
+    "d" plus replicated (kasm, kmissing, overflow).
+
+    Positional outputs stay sharded along "d": the host gathers rows in
+    order, so the in-order writer contract of -dump (merfin.C:384) holds.
+    kasm/kmissing come back PER ROW (a batch spans several chunks of one
+    sequence and the writer needs per-chunk counts).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("t", None), P("t", None),
+            P("t", None), P("t", None),
+            P(), P(),
+            P("d", None),
+        ),
+        out_specs=(P("d", None), P("d", None), P("d", None),
+                   P("d"), P("d"), P()),
+    )
+    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map, codes):
+        fmer, rmer, valid = kmer_windows(codes, k)
+        canon, mult = canonical_and_mult(fmer, rmer)
+
+        read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
+        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
+        read_v = read_v.astype(jnp.uint64) * mult
+        asm_v = asm_v.astype(jnp.uint64) * mult
+
+        read_k, prob, overflow = value_map.lookup_jnp(read_v, (rk_map, pr_map))
+        asm_k = asm_v.astype(jnp.float64)
+        read_k = jnp.where(valid, read_k, 0.0)
+        asm_k = jnp.where(valid, asm_k, 0.0)
+
+        kasm = jnp.sum(valid, axis=1)
+        kmissing = jnp.sum(valid & (read_k == 0), axis=1)
+        kmetric = jnp.where(valid, k_metric_jnp(read_k, asm_k), 0.0)
+
+        overflow = jax.lax.psum(overflow, "d")
+        return read_k, asm_k, kmetric, kasm, kmissing, overflow
+
+    rk_dev = jnp.asarray(value_map.read_k_host)
+    pr_dev = jnp.asarray(value_map.prob_host)
+
+    def run(codes):
+        return step(
+            read_lookup.keys, read_lookup.vals,
+            asm_lookup.keys, asm_lookup.vals,
+            rk_dev, pr_dev, codes,
         )
 
     return jax.jit(run)
