@@ -189,24 +189,21 @@ def count_files(
     chunk: int = 1 << 22,
     use_device: bool = True,
     log=sys.stderr,
+    window: int | None = None,
 ) -> KmerDB:
-    """Count k-mers of FASTA/FASTQ files into a new MKDB."""
-    from merfin_tpu import native
-    from merfin_tpu.io.compressed import open_read
-    from merfin_tpu.io.fasta import CodedSequence
+    """Count k-mers of FASTA/FASTQ files into a new MKDB.
+
+    Streaming host data plane: each input file flows through fixed byte
+    windows (SeqFile.iter_packed), so a 100+ GB FASTQ.gz counts in
+    O(window + distinct-kmer accumulator) memory — the whole file is
+    never materialized (reference streams too, merfin.C:30-53).
+    """
 
     def all_seqs():
         for p in paths:
-            with open_read(p) as f:
-                data = f.read()
-            parsed = native.parse_seqs(data) if data[:1] in (b">", b"@") else None
-            if parsed is not None:
-                _, codes, offsets = parsed
-                # one pre-packed pseudo-sequence: the packer in
-                # count_sequences sees a single long input
-                yield CodedSequence("__packed__", pack_stream(codes, offsets, k))
-            else:
-                yield from SeqFile(p).iter_coded()
+            # packed blocks: records joined with k-1 separators + window
+            # overlap; each block counts as an independent sequence
+            yield from SeqFile(p).iter_packed(k, window=window)
 
     keys, vals, total = count_sequences(all_seqs(), k, chunk=chunk,
                                         use_device=use_device, log=log)

@@ -55,8 +55,67 @@ def get_lib():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.mt_stream_state_size.restype = ctypes.c_int64
+    lib.mt_stream_state_size.argtypes = []
+    lib.mt_stream_init.restype = None
+    lib.mt_stream_init.argtypes = [ctypes.c_void_p]
+    lib.mt_stream_parse.restype = ctypes.c_int64
+    lib.mt_stream_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
+
+
+class StreamParser:
+    """Streaming FASTA/FASTQ parser over the native state machine.
+
+    feed(block, is_final) -> (names, codes, piece_offsets, piece_new) for
+    one byte window; state (mid-record position, partial header) carries
+    between calls, so arbitrarily large files parse in bounded memory.
+    Raises ValueError on non-FASTA/FASTQ input.
+    """
+
+    def __init__(self):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._state = ctypes.create_string_buffer(int(lib.mt_stream_state_size()))
+        lib.mt_stream_init(self._state)
+
+    def feed(self, block: bytes, is_final: bool = False):
+        lib = self._lib
+        n = len(block)
+        codes = np.empty(max(n, 1), dtype=np.uint8)
+        # records per window <= occurrences of the header char + 1 ('@' in
+        # quality lines only inflates the bound), +1 window-spanning piece
+        max_pieces = block.count(b">") + block.count(b"@") + 2
+        piece_off = np.zeros(max_pieces + 1, dtype=np.int64)
+        piece_new = np.zeros(max_pieces, dtype=np.uint8)
+        name_buf = ctypes.create_string_buffer(n + 1040)
+        name_bytes = ctypes.c_int64(0)
+        np_ = lib.mt_stream_parse(
+            block, n, 1 if is_final else 0, self._state,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            piece_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            piece_new.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            max_pieces, name_buf, n + 1040, ctypes.byref(name_bytes),
+        )
+        if np_ == -1:
+            raise ValueError("not FASTA or FASTQ")
+        if np_ < 0:
+            raise RuntimeError(f"stream parse capacity error ({np_})")
+        np_ = int(np_)
+        raw = name_buf.raw[: name_bytes.value]
+        names = [x.decode("ascii", "replace") for x in raw.split(b"\0")[:-1]] \
+            if raw else []
+        return (names, codes, piece_off[: np_ + 1], piece_new[:np_] != 0)
 
 
 def parse_seqs(data: bytes):

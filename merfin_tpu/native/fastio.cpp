@@ -142,4 +142,203 @@ int64_t mt_format_dump_rows(const char* ident, int64_t start,
   return w;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming FASTA/FASTQ parser.
+//
+// The reference never materializes a whole input file: dnaSeqFile streams
+// one sequence at a time (merfin.C:30-53).  This parser goes further and
+// streams fixed-size byte windows with O(1) carried state, so a 100+ GB
+// FASTQ.gz runs in bounded memory.  Each call parses one window and emits
+// "pieces": contiguous 2-bit code runs, one per (record x window) overlap.
+// A record larger than a window spans several pieces; piece_new[i] == 1
+// iff piece i begins a new record (whose ident was appended to `names`).
+//
+// Tolerates multi-line FASTQ sequence and quality lines, CRLF, blank
+// lines, and truncated trailing records (bases kept) — the dnaSeqFile
+// tolerance contract (merfin.C:38).
+
+enum {
+  PH_START = 0,     // expecting a record header ('>' / '@')
+  PH_HDR_NAME = 1,  // collecting ident (first word of header)
+  PH_HDR_REST = 2,  // skipping rest of header line
+  PH_SEQ = 3,       // sequence lines (FASTA until '>', FASTQ until '+')
+  PH_PLUS = 4,      // FASTQ '+' line
+  PH_QUAL = 5,      // FASTQ quality chars (counted, multi-line)
+};
+
+typedef struct {
+  int32_t phase;
+  int32_t fastq;         // -1 unknown yet, 0 FASTA, 1 FASTQ
+  int32_t piece_is_new;  // current record has not emitted a piece yet
+  int32_t name_len;
+  int32_t at_line_start;
+  int32_t _pad;
+  int64_t seq_len;       // record bases so far (across windows)
+  int64_t qual_seen;     // record quality chars so far
+  char name[1024];
+} mt_stream_state;
+
+int64_t mt_stream_state_size() { return (int64_t)sizeof(mt_stream_state); }
+
+void mt_stream_init(mt_stream_state* st) {
+  memset(st, 0, sizeof(*st));
+  st->phase = PH_START;
+  st->fastq = -1;
+  st->at_line_start = 1;
+}
+
+// Returns the piece count; -1 = not FASTA/FASTQ, -2 = capacity exceeded.
+// out_codes needs capacity >= len; piece_off capacity max_pieces+1;
+// names receives NUL-terminated idents for new pieces (bytes written to
+// *name_bytes).
+int64_t mt_stream_parse(const uint8_t* data, int64_t len, int32_t is_final,
+                        mt_stream_state* st, uint8_t* out_codes,
+                        int64_t* piece_off, uint8_t* piece_new,
+                        int64_t max_pieces, char* names, int64_t name_cap,
+                        int64_t* name_bytes) {
+  init_codes();
+  int64_t w = 0, np = 0, nw = 0, i = 0;
+  piece_off[0] = 0;
+  // resuming inside a record means a piece is open
+  int in_piece = (st->phase == PH_SEQ || st->phase == PH_PLUS ||
+                  st->phase == PH_QUAL);
+
+#define CLOSE_PIECE()                                         \
+  do {                                                        \
+    if (np >= max_pieces) return -2;                          \
+    piece_new[np] = (uint8_t)st->piece_is_new;                \
+    if (st->piece_is_new) {                                   \
+      if (nw + st->name_len + 1 > name_cap) return -2;        \
+      memcpy(names + nw, st->name, (size_t)st->name_len);     \
+      nw += st->name_len;                                     \
+      names[nw++] = '\0';                                     \
+    }                                                         \
+    st->piece_is_new = 0;                                     \
+    np++;                                                     \
+    piece_off[np] = w;                                        \
+    in_piece = 0;                                             \
+  } while (0)
+
+#define OPEN_RECORD()        \
+  do {                       \
+    st->piece_is_new = 1;    \
+    st->seq_len = 0;         \
+    st->qual_seen = 0;       \
+    in_piece = 1;            \
+  } while (0)
+
+  while (i < len) {
+    const uint8_t c = data[i];
+    switch (st->phase) {
+      case PH_START:
+        if (c == '\n' || c == '\r' || c == ' ' || c == '\t') {
+          i++;
+          break;
+        }
+        if (st->fastq < 0) {
+          if (c == '>') st->fastq = 0;
+          else if (c == '@') st->fastq = 1;
+          else return -1;
+        } else if ((st->fastq == 0 && c != '>') ||
+                   (st->fastq == 1 && c != '@')) {
+          return -1;
+        }
+        st->phase = PH_HDR_NAME;
+        st->name_len = 0;
+        i++;
+        break;
+
+      case PH_HDR_NAME:
+        if (c == '\n') {
+          st->phase = PH_SEQ;
+          st->at_line_start = 1;
+          OPEN_RECORD();
+        } else if (c == ' ' || c == '\t' || c == '\r') {
+          st->phase = PH_HDR_REST;
+        } else if (st->name_len < (int32_t)sizeof(st->name) - 1) {
+          st->name[st->name_len++] = (char)c;
+        }
+        i++;
+        break;
+
+      case PH_HDR_REST:
+        if (c == '\n') {
+          st->phase = PH_SEQ;
+          st->at_line_start = 1;
+          OPEN_RECORD();
+        }
+        i++;
+        break;
+
+      case PH_SEQ:
+        if (st->at_line_start && st->fastq == 0 && c == '>') {
+          CLOSE_PIECE();              // FASTA record ends at next header
+          st->phase = PH_HDR_NAME;
+          st->name_len = 0;
+          st->at_line_start = 0;
+          i++;
+          break;
+        }
+        if (st->at_line_start && st->fastq == 1 && c == '+') {
+          st->phase = PH_PLUS;
+          i++;
+          break;
+        }
+        if (c == '\n') {
+          st->at_line_start = 1;
+          i++;
+        } else if (c == '\r' || c == ' ' || c == '\t') {
+          i++;
+        } else {
+          out_codes[w++] = CODE[c];
+          st->seq_len++;
+          st->at_line_start = 0;
+          i++;
+        }
+        break;
+
+      case PH_PLUS:
+        if (c == '\n') {
+          st->phase = PH_QUAL;
+          // a record with zero bases has zero quality chars: done now
+          if (st->qual_seen >= st->seq_len) {
+            CLOSE_PIECE();
+            st->phase = PH_START;
+            st->at_line_start = 1;
+          }
+        }
+        i++;
+        break;
+
+      case PH_QUAL:
+        if (c == '\n' || c == '\r') {
+          i++;
+        } else {
+          st->qual_seen++;
+          i++;
+          if (st->qual_seen >= st->seq_len) {
+            CLOSE_PIECE();              // FASTQ record complete
+            st->phase = PH_START;
+            st->at_line_start = 1;
+          }
+        }
+        break;
+    }
+  }
+
+  if (is_final &&
+      (st->phase == PH_HDR_NAME || st->phase == PH_HDR_REST)) {
+    // truncated trailing header: emit it as an empty record
+    OPEN_RECORD();
+  }
+  if (in_piece && (w > piece_off[np] || st->piece_is_new)) {
+    CLOSE_PIECE();                      // window (or stream) ends mid-record
+  }
+
+#undef CLOSE_PIECE
+#undef OPEN_RECORD
+  *name_bytes = nw;
+  return np;
+}
+
 }  // extern "C"
