@@ -321,17 +321,19 @@ def db_tool_main(argv: list[str]) -> int:
         out = pos[j + 1]
         pos = pos[:j] + pos[j + 2:]
 
+    mem = float(opts["memory"]) if "memory" in opts else None
+
     if cmd == "count":
         from merfin_tpu.count.counter import count_files
 
         k = int(opts.get("k", 21))
         assert out, "count: need output <db>"
-        count_files(pos, k, out)
+        count_files(pos, k, out, memory_gb=mem)
         return 0
 
     if cmd == "import":
         assert out and len(pos) == 1, "import: <text> output <db>"
-        meryl_text.import_text(pos[0], out)
+        meryl_text.import_text(pos[0], out, memory_gb=mem)
         return 0
 
     if cmd in ("print", "export"):

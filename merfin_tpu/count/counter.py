@@ -38,11 +38,23 @@ def _merge_sorted(a_keys, a_vals, b_keys, b_vals):
 
 
 class _Accumulator:
-    """Hierarchical merger keeping memory bounded."""
+    """Hierarchical merger; spills sorted runs to disk past a byte budget.
 
-    def __init__(self):
-        self.levels: list[tuple[np.ndarray, np.ndarray]] = []
+    Without a budget all distinct k-mers stay in host RAM (binary-counter
+    merging).  With one, whenever the resident levels exceed it they merge
+    into a single sorted run written to a SpillStore — the out-of-core
+    property meryl's counter has (SURVEY.md §2.2) — and the final database
+    is produced by a slice-by-slice merge (spill.merge_to_mkdb).
+    """
+
+    def __init__(self, k: int | None = None, budget_bytes: int | None = None,
+                 spill_dir: str | None = None):
+        self.levels: list[tuple[np.ndarray, np.ndarray] | None] = []
         self.total = 0
+        self.k = k
+        self.budget = budget_bytes
+        self.spill_dir = spill_dir
+        self.store = None
 
     def add(self, keys: np.ndarray, vals: np.ndarray) -> None:
         self.total += int(vals.sum())
@@ -56,8 +68,31 @@ class _Accumulator:
         if i == len(self.levels):
             self.levels.append(None)
         self.levels[i] = cur
+        if self.budget is not None and self._resident_bytes() > self.budget:
+            self._spill()
+
+    def _resident_bytes(self) -> int:
+        return sum(lv[0].size * 16 for lv in self.levels if lv is not None)
+
+    def _spill(self) -> None:
+        from merfin_tpu.count.spill import SpillStore
+
+        keys = np.zeros(0, np.uint64)
+        vals = np.zeros(0, np.uint64)
+        for lv in self.levels:
+            if lv is not None:
+                keys, vals = _merge_sorted(keys, vals, *lv)
+        if self.store is None:
+            assert self.k is not None, "spilling needs k for slice offsets"
+            self.store = SpillStore(self.spill_dir, self.k)
+        self.store.spill(keys, vals)
+        self.levels = []
+
+    def mem_parts(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        return [lv for lv in self.levels if lv is not None]
 
     def result(self) -> tuple[np.ndarray, np.ndarray, int]:
+        assert self.store is None, "spilled accumulator: merge via spill.merge_to_mkdb"
         keys = np.zeros(0, np.uint64)
         vals = np.zeros(0, np.uint64)
         for lv in self.levels:
@@ -118,6 +153,19 @@ def count_sequences(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Count canonical k-mers; returns (sorted keys, values, total)."""
     acc = _Accumulator()
+    _count_into(acc, seqs, k, chunk, use_device, log)
+    return acc.result()
+
+
+def _count_into(
+    acc: _Accumulator,
+    seqs: Iterable[Sequence],
+    k: int,
+    chunk: int = 1 << 22,
+    use_device: bool = True,
+    log=sys.stderr,
+) -> None:
+    """Feed chunked canonical-count batches into an accumulator."""
     step = None
     if use_device:
         try:
@@ -165,7 +213,6 @@ def count_sequences(
             flush()
             pos += take - (k - 1)
     flush()
-    return acc.result()
 
 
 def pack_stream(codes: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
@@ -190,13 +237,18 @@ def count_files(
     use_device: bool = True,
     log=sys.stderr,
     window: int | None = None,
+    memory_gb: float | None = None,
+    spill_dir: str | None = None,
 ) -> KmerDB:
     """Count k-mers of FASTA/FASTQ files into a new MKDB.
 
     Streaming host data plane: each input file flows through fixed byte
     windows (SeqFile.iter_packed), so a 100+ GB FASTQ.gz counts in
-    O(window + distinct-kmer accumulator) memory — the whole file is
-    never materialized (reference streams too, merfin.C:30-53).
+    O(window + accumulator budget) memory — the whole file is never
+    materialized (the reference streams too, merfin.C:30-53).  When the
+    distinct-kmer set exceeds ``memory_gb`` the accumulator spills sorted
+    runs to disk and the database is produced by a 64-slice out-of-core
+    merge (meryl's out-of-core counting role, SURVEY.md §2.2).
     """
 
     def all_seqs():
@@ -205,8 +257,17 @@ def count_files(
             # overlap; each block counts as an independent sequence
             yield from SeqFile(p).iter_packed(k, window=window)
 
-    keys, vals, total = count_sequences(all_seqs(), k, chunk=chunk,
-                                        use_device=use_device, log=log)
+    budget = int(memory_gb * 1024**3) if memory_gb is not None else None
+    acc = _Accumulator(k=k, budget_bytes=budget, spill_dir=spill_dir)
+    _count_into(acc, all_seqs(), k, chunk=chunk, use_device=use_device, log=log)
+
+    if acc.store is not None:
+        from merfin_tpu.count.spill import merge_to_mkdb
+
+        print(f"count: merging {len(acc.store.runs)} spilled runs", file=log)
+        return merge_to_mkdb(out_db, k, acc.store, acc.mem_parts(), acc.total)
+
+    keys, vals, total = acc.result()
     if keys.size and int(vals.max()) > 0xFFFFFFFF:
         raise ValueError("k-mer count exceeds uint32 (unsupported)")
     return KmerDB.create(out_db, k, keys, vals.astype(np.uint32), total=total)

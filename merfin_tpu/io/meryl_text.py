@@ -35,15 +35,59 @@ def encode_kmer(s: str) -> int:
     return key
 
 
-def import_text(text_path: str, db_path: str, k: int | None = None, canonicalize: bool = True) -> KmerDB:
-    """Build an MKDB from 'KMER<tab>count' lines.
+def encode_kmers_batch(mers: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized pack of an [N, k] uint8 base-byte matrix into uint64."""
+    codes = encode_bases(mers.reshape(-1)).reshape(mers.shape)
+    assert codes.max(initial=0) < 4, "invalid base in k-mer input"
+    keys = np.zeros(mers.shape[0], dtype=np.uint64)
+    for i in range(k):
+        keys = (keys << np.uint64(2)) | codes[:, i].astype(np.uint64)
+    return keys
+
+
+def import_text(
+    text_path: str,
+    db_path: str,
+    k: int | None = None,
+    canonicalize: bool = True,
+    batch_lines: int = 1 << 20,
+    memory_gb: float | None = None,
+) -> KmerDB:
+    """Build an MKDB from 'KMER<tab>count' lines — streaming.
+
+    Lines flow through fixed batches (vectorized packing, no Python
+    per-k-mer loop) into the counter's hierarchical accumulator, which
+    spills to disk past ``memory_gb`` — a multi-GB `meryl print` dump of a
+    human read set imports in bounded memory.
 
     meryl may use a different canonical convention than ours; when
     ``canonicalize`` we re-canonicalize each k-mer (min of fwd/rc under
     A<C<G<T packing) and re-sort, summing duplicates.
     """
-    keys: list[int] = []
-    vals: list[int] = []
+    from merfin_tpu.count.counter import _Accumulator
+    from merfin_tpu.kcore.pack import revcomp_np
+
+    acc: _Accumulator | None = None
+
+    def flush(mer_rows: list[bytes], counts: list[int]):
+        nonlocal acc
+        assert k is not None
+        if acc is None:
+            budget = int(memory_gb * 1024**3) if memory_gb else None
+            acc = _Accumulator(k=k, budget_bytes=budget)
+        mat = np.frombuffer(b"".join(mer_rows), dtype=np.uint8)
+        karr = encode_kmers_batch(mat.reshape(len(mer_rows), k), k)
+        varr = np.asarray(counts, dtype=np.uint64)
+        if canonicalize:
+            karr = np.minimum(karr, revcomp_np(karr, k))
+        order = np.argsort(karr, kind="stable")
+        karr, varr = karr[order], varr[order]
+        uniq, start = np.unique(karr, return_index=True)
+        sums = np.add.reduceat(varr, start)
+        acc.add(uniq, sums)
+
+    mer_rows: list[bytes] = []
+    counts: list[int] = []
     with open_read_text(text_path) as f:
         for line in f:
             parts = line.split()
@@ -53,26 +97,21 @@ def import_text(text_path: str, db_path: str, k: int | None = None, canonicalize
             if k is None:
                 k = len(mer)
             assert len(mer) == k, "mixed k-mer lengths in input"
-            keys.append(encode_kmer(mer))
-            vals.append(int(cnt))
-    assert k is not None, "empty input"
+            mer_rows.append(mer.encode("ascii"))
+            counts.append(int(cnt))
+            if len(mer_rows) >= batch_lines:
+                flush(mer_rows, counts)
+                mer_rows, counts = [], []
+    if mer_rows:
+        flush(mer_rows, counts)
+    assert k is not None and acc is not None, "empty input"
 
-    karr = np.asarray(keys, dtype=np.uint64)
-    varr = np.asarray(vals, dtype=np.uint64)
+    if acc.store is not None:
+        from merfin_tpu.count.spill import merge_to_mkdb
 
-    if canonicalize and karr.size:
-        from merfin_tpu.kcore.pack import revcomp_np
-
-        karr = np.minimum(karr, revcomp_np(karr, k))
-
-    order = np.argsort(karr, kind="stable")
-    karr, varr = karr[order], varr[order]
-    if karr.size:
-        uniq, start = np.unique(karr, return_index=True)
-        sums = np.add.reduceat(varr, start)
-    else:
-        uniq, sums = karr, varr
-    return KmerDB.create(db_path, k, uniq, sums.astype(np.uint32), total=int(varr.sum()))
+        return merge_to_mkdb(db_path, k, acc.store, acc.mem_parts(), acc.total)
+    keys, vals, total = acc.result()
+    return KmerDB.create(db_path, k, keys, vals.astype(np.uint32), total=total)
 
 
 def export_text(db: KmerDB, text_path: str) -> None:
