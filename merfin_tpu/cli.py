@@ -210,63 +210,87 @@ def run(cfg: MerfinConfig) -> int:
         print("\nNot enough memory to load databases.  Increase -memory.\n", file=log)
         return 1
 
+    # Mesh: every report type rides it (the reference parallelizes every
+    # mode: sweatShop merfin.C:366-413, OpenMP merfin-completeness.C:65).
+    mesh = None
+    if cfg.mesh:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        try:
+            d, t = (int(x) for x in cfg.mesh.lower().split("x"))
+        except ValueError:
+            print(f"ERROR: -mesh '{cfg.mesh}' is not DxT (e.g. 2x4).", file=log)
+            return 1
+        devs = jax.devices()
+        if len(devs) < d * t:
+            print(f"ERROR: -mesh {d}x{t} needs {d * t} devices; "
+                  f"{len(devs)} available.", file=log)
+            return 1
+        mesh = Mesh(np.asarray(devs[: d * t]).reshape(d, t), ("d", "t"))
+        print(f"-- Sharding tables over a {d}x{t} device mesh.", file=log)
+
     if cfg.report_type == "completeness":
         from merfin_tpu.modes.completeness import run_completeness
 
         print("-- Compute completeness.", file=log)
-        run_completeness(read_db, asm_db, cfg.peak, prob_table=prob, log=log)
+        run_completeness(read_db, asm_db, cfg.peak, prob_table=prob, log=log,
+                         mesh=mesh)
         print("Bye!", file=log)
         return 0
 
-    print(f"-- Loading kmers from '{cfg.read_db_name}' into lookup table.", file=log)
-    read_lookup = build_lookup(read_db, min_v=cfg.min_v, max_v=cfg.max_v)
-    print(f"-- Loading kmers from '{cfg.seq_db_name}' into lookup table.", file=log)
-    asm_lookup = build_lookup(asm_db)
+    if mesh is not None:
+        from merfin_tpu.parallel.sharded import ShardedLookup
+
+        print(f"-- Loading kmers from '{cfg.read_db_name}' into sharded table.",
+              file=log)
+        read_sharded = ShardedLookup.build(read_db, mesh, min_v=cfg.min_v,
+                                           max_v=cfg.max_v)
+        print(f"-- Loading kmers from '{cfg.seq_db_name}' into sharded table.",
+              file=log)
+        asm_sharded = ShardedLookup.build(asm_db, mesh)
+    else:
+        print(f"-- Loading kmers from '{cfg.read_db_name}' into lookup table.", file=log)
+        read_lookup = build_lookup(read_db, min_v=cfg.min_v, max_v=cfg.max_v)
+        print(f"-- Loading kmers from '{cfg.seq_db_name}' into lookup table.", file=log)
+        asm_lookup = build_lookup(asm_db)
 
     seq_file = SeqFile(cfg.seq_name)
+
+    def make_engine():
+        if mesh is not None:
+            from merfin_tpu.parallel.engine import ShardedKstarEngine
+
+            return ShardedKstarEngine(
+                mesh, read_sharded, asm_sharded, k, cfg.peak, prob_table=prob,
+                max_value=_db_max(read_db))
+        import jax
+
+        from merfin_tpu.modes.engine import KstarEngine
+
+        sortjoin = cfg.sortjoin
+        if cfg.report_type != "hist":
+            sortjoin = False   # dump needs positional output
+        elif sortjoin is None:  # auto: the Pallas join path on accelerators
+            sortjoin = jax.default_backend() != "cpu" and k % 2 == 1
+        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
+                             max_value=_db_max(read_db), sortjoin=sortjoin)
+        if engine.sortjoin:
+            print("-- Using sorted-join lookup kernel for -hist.", file=log)
+        return engine
 
     if cfg.report_type == "hist":
         from merfin_tpu.modes.hist import run_hist
 
         print(f"-- Generate histogram of the k* metric to '{cfg.out_name}'.", file=log)
-        if cfg.mesh:
-            import numpy as _np
-            import jax as _jax
-            from jax.sharding import Mesh as _Mesh
-
-            from merfin_tpu.parallel.engine import ShardedKstarEngine
-            from merfin_tpu.parallel.sharded import ShardedLookup
-
-            d, t = (int(x) for x in cfg.mesh.lower().split("x"))
-            mesh = _Mesh(_np.asarray(_jax.devices()[: d * t]).reshape(d, t), ("d", "t"))
-            print(f"-- Sharding tables over a {d}x{t} device mesh.", file=log)
-            engine = ShardedKstarEngine(
-                mesh,
-                ShardedLookup.build(read_db, mesh, min_v=cfg.min_v, max_v=cfg.max_v),
-                ShardedLookup.build(asm_db, mesh),
-                k, cfg.peak, prob_table=prob, max_value=_db_max(read_db))
-        else:
-            import jax
-
-            from merfin_tpu.modes.engine import KstarEngine
-
-            sortjoin = cfg.sortjoin
-            if sortjoin is None:   # auto: the Pallas join path on accelerators
-                sortjoin = jax.default_backend() != "cpu" and k % 2 == 1
-            engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
-                                 max_value=_db_max(read_db), sortjoin=sortjoin)
-            if engine.sortjoin:
-                print("-- Using sorted-join lookup kernel for -hist.", file=log)
-        run_hist(engine, seq_file, cfg.out_name, log=log, resume=cfg.resume)
+        run_hist(make_engine(), seq_file, cfg.out_name, log=log, resume=cfg.resume)
 
     elif cfg.report_type == "dump":
-        from merfin_tpu.modes.engine import KstarEngine
         from merfin_tpu.modes.dump import run_dump
 
         print(f"-- Dump per-base k* metric to '{cfg.out_name}'.", file=log)
-        engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
-                             max_value=_db_max(read_db))
-        run_dump(engine, seq_file, cfg.out_name, skip_missing=cfg.skip_missing,
+        run_dump(make_engine(), seq_file, cfg.out_name, skip_missing=cfg.skip_missing,
                  log=log, resume=cfg.resume)
 
     else:
@@ -280,11 +304,15 @@ def run(cfg: MerfinConfig) -> int:
         vcf.merge_clusters(k, cfg.comb, cfg.nosplit, log=log)
 
         print("-- Generate variant mers and score them.", file=log)
+        if mesh is not None:
+            rlookup, alookup = read_sharded.lookup_np, asm_sharded.lookup_np
+        else:
+            rlookup, alookup = read_lookup.lookup_np, asm_lookup.lookup_np
         run_variants(
             cfg.report_type, seq_file, vcf, k,
-            read_lookup.lookup_np, asm_lookup.lookup_np,
+            rlookup, alookup,
             cfg.peak, prob, cfg.out_name, comb=cfg.comb, debug=cfg.debug, log=log,
-            resume=cfg.resume,
+            resume=cfg.resume, threads=cfg.threads,
         )
 
     print("Bye!", file=log)

@@ -30,7 +30,12 @@ def run_completeness(
     prob_table: ProbTable | None = None,
     log=sys.stderr,
     block: int = 1 << 22,
+    mesh=None,
 ):
+    """-completeness driver; with ``mesh`` the assembly table shards over
+    the "t" axis and read-DB row batches ride the "d" axis (the
+    reference's 64-way OpenMP merge-join, merfin-completeness.C:65, as
+    one collective program)."""
     ensure_x64()
     import jax
     import jax.numpy as jnp
@@ -40,6 +45,10 @@ def run_completeness(
     max_v = int(np.asarray(read_db.vals).max()) if read_db.distinct else 1
     vmap = ValueMap(peak, prob_table, max_v)
     vm_arrays = vmap.device_arrays()
+
+    if mesh is not None:
+        return _run_completeness_mesh(read_db, asm_db, vmap, mesh,
+                                      log=log, block=block)
 
     @jax.jit
     def slice_stats(read_keys, read_vals, read_mask, asm_keys, asm_vals, vm):
@@ -92,6 +101,10 @@ def run_completeness(
         print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
               f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
 
+    return _report(compl_total, compl_undrc, log)
+
+
+def _report(compl_total: np.ndarray, compl_undrc: np.ndarray, log):
     total = float(np.sum(compl_total))
     undrc = float(np.sum(compl_undrc))
     completeness = 1.0 - undrc / total if total else float("nan")
@@ -102,3 +115,52 @@ def run_completeness(
     print(f"COMPLETENESS:             {completeness:0.5f}", file=log)
 
     return {"total": total, "undrc": undrc, "completeness": completeness}
+
+
+def _run_completeness_mesh(read_db: KmerDB, asm_db: KmerDB, vmap, mesh,
+                           log=sys.stderr, block: int = 1 << 20):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from merfin_tpu.parallel.multichip import make_completeness_step
+    from merfin_tpu.parallel.sharded import ShardedLookup
+
+    asm_sharded = ShardedLookup.build(asm_db, mesh)
+    step = make_completeness_step(mesh, asm_sharded, vmap)
+    D = mesh.shape["d"]
+    sh = NamedSharding(mesh, P("d", None))
+
+    # one compiled shape: per-device block sized to the largest slice
+    # (pow2, floor 4096) so small databases don't pay 64 full-size
+    # zero-padded dispatches
+    max_slice = int(np.max(np.diff(read_db.slice_offsets))) if read_db.distinct else 0
+    per_dev = (max_slice + D - 1) // D
+    if per_dev:
+        block = min(block, max(4096, 1 << (per_dev - 1).bit_length()))
+
+    compl_total = np.zeros(SLICES, dtype=np.float64)
+    compl_undrc = np.zeros(SLICES, dtype=np.float64)
+
+    for ii in range(SLICES):
+        r_keys, r_vals = read_db.slice(ii)
+        n_slice = r_keys.shape[0]
+        for lo in range(0, n_slice, D * block):
+            rk = np.zeros((D, block), dtype=np.uint64)
+            rv = np.zeros((D, block), dtype=np.uint32)
+            mask = np.zeros((D, block), dtype=bool)
+            piece_k = np.asarray(r_keys[lo: lo + D * block], dtype=np.uint64)
+            piece_v = np.asarray(r_vals[lo: lo + D * block], dtype=np.uint32)
+            n = piece_k.size
+            rk.reshape(-1)[:n] = piece_k
+            rv.reshape(-1)[:n] = piece_v
+            mask.reshape(-1)[:n] = True
+            t, u = step(jax.device_put(rk, sh), jax.device_put(rv, sh),
+                        jax.device_put(mask, sh))
+            compl_total[ii] += float(t)
+            compl_undrc[ii] += float(u)
+
+        c = 1.0 - compl_undrc[ii] / compl_total[ii] if compl_total[ii] else float("nan")
+        print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
+              f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
+
+    return _report(compl_total, compl_undrc, log)

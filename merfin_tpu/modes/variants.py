@@ -53,10 +53,13 @@ def cluster_window(pos_gt: PosGT, k: int, seq_len: int) -> tuple[int, int]:
     return r_start, r_end
 
 
-def prepare_cluster(
+def prepare_cluster_args(
     seq: Sequence, pos_gt: PosGT, k: int, comb: int, log=sys.stderr
-) -> tuple[int, int, list[VarPath]] | None:
-    """Enumerate one cluster; None on PANIC-skip."""
+) -> tuple[int, int, tuple] | None:
+    """Window math + PANIC checks for one cluster; returns
+    (r_start, r_end, enumerate_paths args) or None on PANIC-skip.  The
+    (CPU-heavy) enumeration itself runs separately so -threads can fan it
+    out over worker processes."""
     r_start, r_end = cluster_window(pos_gt, k, seq.length)
 
     ref_idx = [(gt.pos - r_start) % _U32 for gt in pos_gt.gts]
@@ -75,8 +78,49 @@ def prepare_cluster(
               f"Consider filtering the vcf upfront. Skipping...", file=log)
         return None
 
-    paths = enumerate_paths(template.decode("ascii"), ref_idx, ref_len, haps)
-    return r_start, r_end, paths
+    return r_start, r_end, (template.decode("ascii"), ref_idx, ref_len, haps)
+
+
+def prepare_cluster(
+    seq: Sequence, pos_gt: PosGT, k: int, comb: int, log=sys.stderr
+) -> tuple[int, int, list[VarPath]] | None:
+    """Enumerate one cluster; None on PANIC-skip."""
+    r = prepare_cluster_args(seq, pos_gt, k, comb, log=log)
+    if r is None:
+        return None
+    return r[0], r[1], _enumerate_task(r[2])
+
+
+def _enumerate_task(args):
+    """Worker task: REF/ALT path enumeration (merfin-variants.C:22-126)."""
+    if args is None:
+        return None
+    template, ref_idx, ref_len, haps = args
+    return enumerate_paths(template, ref_idx, ref_len, haps)
+
+
+def _select_task(args):
+    """Worker task: per-cluster mode selection -> (result text, warnings).
+
+    Pure function of the scored paths; loose-mode warnings come back as
+    text so the parent prints them in deterministic order.
+    """
+    import io as _io
+
+    mode, paths, scores, pos_gt, k = args
+    warn = _io.StringIO()
+    if mode == "polish":
+        res = select.best_variant(paths, scores, pos_gt, k)
+    elif mode == "better":
+        res = select.better_variant(paths, scores, pos_gt, k)
+    elif mode == "strict":
+        res = select.strict_polish(paths, scores, pos_gt, k)
+    elif mode == "loose":
+        res = select.loose_polish(paths, scores, pos_gt, k, log=warn)
+    else:
+        recs = select.best_filter(paths, scores, pos_gt, k)
+        res = "".join(r.save() for r in recs)
+    return res, warn.getvalue()
 
 
 class DebugWriter:
@@ -128,11 +172,24 @@ def run_variants(
     log=sys.stderr,
     query_budget: int = 1 << 23,
     resume: bool = False,
+    threads: int = 1,
 ):
+    """Variant-mode driver.  ``threads`` > 1 fans the CPU-bound stages
+    (path enumeration, mode selection) over worker processes — the
+    sweatShop worker count analog (merfin.C:400-413); table lookups stay
+    batched on the device in the parent.  Output order is deterministic
+    regardless of thread count (ordered map)."""
     from merfin_tpu.utils.checkpoint import Checkpoint, truncate_to
 
     assert mode in ("filter", "polish", "better", "strict", "loose")
     filter_mode = mode == "filter"
+
+    pool = None
+    if threads and threads > 1:
+        import multiprocessing as mp
+
+        # spawn, not fork: the parent holds live device runtime state
+        pool = mp.get_context("spawn").Pool(threads)
 
     suffix = "polish" if mode == "polish" else "filter"
     out_path = f"{out_name}.{suffix}.vcf"
@@ -175,48 +232,61 @@ def run_variants(
             continue
         print(f"Processing sequence {seq.ident} for variants", file=log)
 
-        # enumerate all clusters of this sequence
-        prepared: list[tuple[PosGT, int, int, list[VarPath]] | None] = []
+        # window math + PANIC checks (needs the sequence; cheap)
+        prepared: list[tuple[PosGT, int, int, tuple] | None] = []
         for pos_gt in clusters:
-            r = prepare_cluster(seq, pos_gt, k, comb, log=log)
+            r = prepare_cluster_args(seq, pos_gt, k, comb, log=log)
             prepared.append(None if r is None else (pos_gt, r[0], r[1], r[2]))
 
-        # score in budgeted batches, then select in order
-        result_parts: list[str] = []
+        # enumerate REF/ALT paths — CPU-bound, fans out over the pool
+        enum_args = [p[3] if p is not None else None for p in prepared]
+        if pool is not None:
+            paths_list = pool.map(_enumerate_task, enum_args)
+        else:
+            paths_list = [_enumerate_task(a) for a in enum_args]
+
+        # score in budgeted batches (device lookups, parent process)
+        all_scores: list[list[PathScore] | None] = [None] * len(prepared)
         i = 0
         while i < len(prepared):
             j = i
             budget = 0
             groups: list[list[VarPath]] = []
             while j < len(prepared) and (budget == 0 or budget < query_budget):
-                if prepared[j] is not None:
-                    paths = prepared[j][3]
+                paths = paths_list[j]
+                if paths is not None:
                     budget += sum(max(0, len(p.seq) - k + 1) for p in paths)
                     groups.append(paths)
                 else:
                     groups.append([])
                 j += 1
-            scored = score_path_groups(
+            all_scores[i:j] = score_path_groups(
                 groups, k, lookup_read, lookup_asm, peak, prob_table, filter_mode
             )
-            for entry, scores in zip(prepared[i:j], scored):
-                if entry is None:
-                    continue
-                pos_gt, r_start, r_end, paths = entry
-                if dbg is not None:
-                    dbg.emit(seq.ident, r_start, r_end, pos_gt, paths, scores)
-                if mode == "polish":
-                    result_parts.append(select.best_variant(paths, scores, pos_gt, k))
-                elif mode == "better":
-                    result_parts.append(select.better_variant(paths, scores, pos_gt, k))
-                elif mode == "strict":
-                    result_parts.append(select.strict_polish(paths, scores, pos_gt, k))
-                elif mode == "loose":
-                    result_parts.append(select.loose_polish(paths, scores, pos_gt, k, log=log))
-                else:
-                    recs = select.best_filter(paths, scores, pos_gt, k)
-                    result_parts.append("".join(r.save() for r in recs))
             i = j
+
+        # per-cluster selection — CPU-bound, fans out over the pool
+        tasks = [(mode, paths_list[idx], all_scores[idx], entry[0], k)
+                 for idx, entry in enumerate(prepared) if entry is not None]
+        if pool is not None:
+            selected = pool.map(_select_task, tasks)
+        else:
+            selected = [_select_task(t) for t in tasks]
+
+        result_parts: list[str] = []
+        si = 0
+        for idx, entry in enumerate(prepared):
+            if entry is None:
+                continue
+            pos_gt, r_start, r_end, _ = entry
+            if dbg is not None:
+                dbg.emit(seq.ident, r_start, r_end, pos_gt,
+                         paths_list[idx], all_scores[idx])
+            res, warn = selected[si]
+            si += 1
+            if warn:
+                log.write(warn)
+            result_parts.append(res)
 
         text = "".join(result_parts)
         n_selected += text.count("\n")
@@ -225,6 +295,9 @@ def run_variants(
         f.flush()
         ckpt.save(seq_idx, f.tell(), {})
 
+    if pool is not None:
+        pool.close()
+        pool.join()
     if out is not None:
         out.close()
     if dbg is not None:

@@ -131,6 +131,53 @@ def make_hist_step(
     return jax.jit(run)
 
 
+def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):
+    """Build a jitted -completeness step: read-DB rows (keys, vals, mask)
+    [D, B] sharded over "d", assembly table sharded over "t" ->
+    replicated (total readK, undr copies).
+
+    The reference merge-joins 64 sorted DB streams under OpenMP
+    (merfin-completeness.C:65-121); here each batch of read-DB rows looks
+    up its assembly value against the t-sharded table (asm-only k-mers
+    are never visited, matching the reference's skip at :100-109) and the
+    partial sums ride one psum.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("t", None), P("t", None),   # asm table shard
+            P(), P(),                     # value map (replicated)
+            P("d", None), P("d", None), P("d", None),
+        ),
+        out_specs=(P(), P()),
+    )
+    def step(as_keys, as_vals, rk_map, pr_map, rkeys, rvals, rmask):
+        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], rkeys), "t")
+        read_k, _, _ = value_map.lookup_jnp(
+            rvals.astype(jnp.uint64), (rk_map, pr_map))
+        asm_k = asm_v.astype(jnp.float64)
+        read_k = jnp.where(rmask, read_k, 0.0)
+        asm_k = jnp.where(rmask, asm_k, 0.0)
+        total = jnp.sum(read_k)
+        undrc = jnp.sum(jnp.where(read_k > asm_k, read_k - asm_k, 0.0))
+        return jax.lax.psum(total, "d"), jax.lax.psum(undrc, "d")
+
+    rk_dev = jnp.asarray(value_map.read_k_host)
+    pr_dev = jnp.asarray(value_map.prob_host)
+
+    def run(rkeys, rvals, rmask):
+        return step(asm_lookup.keys, asm_lookup.vals, rk_dev, pr_dev,
+                    rkeys, rvals, rmask)
+
+    return jax.jit(run)
+
+
 def make_dump_step(
     mesh,
     read_lookup: ShardedLookup,

@@ -76,6 +76,8 @@ class ShardedLookup:
     vals: object   # [T, M] sharded along "t"
     n: int
     k: int
+    _jit_lookup: object = dataclasses.field(default=None, repr=False,
+                                            compare=False)
 
     @classmethod
     def build(cls, db_or_arrays, mesh, min_v: int = 0, max_v: int = 2**64 - 1):
@@ -121,6 +123,39 @@ class ShardedLookup:
             return jax.lax.psum(out, "t")
 
         return f(self.keys, self.vals, q)
+
+    def lookup_np(self, q: np.ndarray) -> np.ndarray:
+        """Numpy-in/numpy-out lookup for host-driven pipelines (the
+        variant scorer's contract, variants/score.py).  Queries pad to a
+        power of two (>= 4096) so repeated calls reuse a small set of
+        compiled shapes; the replicated batch probes every "t" shard and
+        combines with one psum."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        if self._jit_lookup is None:
+            @partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=(P("t", None), P("t", None), P()),
+                out_specs=P(),
+            )
+            def f(keys, vals, q):
+                return jax.lax.psum(_local_probe(keys[0], vals[0], q), "t")
+
+            self._jit_lookup = jax.jit(f)
+
+        q = np.ascontiguousarray(q, dtype=np.uint64)
+        n = q.size
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        p = max(4096, 1 << (n - 1).bit_length())
+        qp = np.zeros(p, dtype=np.uint64)
+        qp[:n] = q.reshape(-1)
+        out = np.asarray(self._jit_lookup(self.keys, self.vals, jnp.asarray(qp)))
+        return out[:n].astype(np.uint64).reshape(q.shape)
 
     def lookup_sharded(self, q, qspec):
         """Lookup with queries sharded along the "d" axis (qspec P("d"))."""
