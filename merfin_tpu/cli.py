@@ -161,6 +161,22 @@ def _db_max(db) -> int:
     return int(np.asarray(db.vals).max()) if db.distinct else 1
 
 
+def _device_hbm_gb() -> float | None:
+    """Per-device accelerator memory in GB; None when unknown (CPU)."""
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return None
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return stats["bytes_limit"] / 1024**3
+    except Exception:
+        return None
+    return None
+
+
 def run(cfg: MerfinConfig) -> int:
     """Load DBs and dispatch the report — main() (merfin.C:358-430)."""
     setup_runtime()
@@ -171,6 +187,22 @@ def run(cfg: MerfinConfig) -> int:
     from merfin_tpu.table.lookup import build_lookup
 
     log = sys.stderr
+
+    # Multi-host launch (MERFIN_NUM_PROCESSES / MERFIN_PROCESS_ID /
+    # MERFIN_COORDINATOR): each process takes a sequence (or DB-slice)
+    # stripe; accumulators merge over collectives; rank 0 writes outputs.
+    from merfin_tpu.parallel import multihost as mh
+
+    multi = mh.maybe_init_from_env(log=log)
+    if multi:
+        if cfg.mesh:
+            print("ERROR: -mesh with a multi-host launch is not supported yet "
+                  "(use one device mesh per host).", file=log)
+            return 1
+        if cfg.resume or cfg.debug:
+            print("ERROR: -resume/-debug are not supported with multi-host runs.",
+                  file=log)
+            return 1
 
     prob = load_prob_table(cfg.prob_table) if cfg.prob_table else None
 
@@ -188,7 +220,10 @@ def run(cfg: MerfinConfig) -> int:
                   file=log)
             from merfin_tpu.count.counter import count_files
 
-            count_files([cfg.seq_name], k, cfg.seq_db_name, log=log)
+            if not multi or mh.process_info()[0] == 0:
+                count_files([cfg.seq_name], k, cfg.seq_db_name, log=log)
+            if multi:
+                mh.barrier("seqdb-built")   # ranks >0 wait for the build
 
     read_db = KmerDB(cfg.read_db_name)
     asm_db = KmerDB(cfg.seq_db_name)
@@ -213,6 +248,7 @@ def run(cfg: MerfinConfig) -> int:
     # Mesh: every report type rides it (the reference parallelizes every
     # mode: sweatShop merfin.C:366-413, OpenMP merfin-completeness.C:65).
     mesh = None
+    t_shards = 1
     if cfg.mesh:
         import jax
         import numpy as np
@@ -229,7 +265,32 @@ def run(cfg: MerfinConfig) -> int:
                   f"{len(devs)} available.", file=log)
             return 1
         mesh = Mesh(np.asarray(devs[: d * t]).reshape(d, t), ("d", "t"))
+        t_shards = t
         print(f"-- Sharding tables over a {d}x{t} device mesh.", file=log)
+
+    # HBM fail-fast: tables must fit the accelerator memory they will be
+    # device_put into — whole tables on one chip, or 1/T per chip when
+    # sharded over the "t" axis.  merfin-globals.C:148-153 semantics
+    # against device (not host) capacity; error before a device OOM.
+    hbm_gb = _device_hbm_gb()
+    if hbm_gb is not None and cfg.report_type != "completeness":
+        per_dev = req / t_shards
+        if per_dev > 0.92 * hbm_gb:    # headroom for batches + compiled code
+            print(f"\nLookup tables need {per_dev:.1f} GB per device but "
+                  f"device HBM is {hbm_gb:.1f} GB.", file=log)
+            if mesh is None:
+                import jax
+
+                n = len(jax.devices())
+                if n > 1:
+                    t_need = max(2, int(per_dev / (0.92 * hbm_gb)) + 1)
+                    print(f"Shard the tables over the device mesh: "
+                          f"-mesh 1x{min(t_need, n)} (up to {n} devices "
+                          f"available).\n", file=log)
+            else:
+                print("Increase the -mesh table axis (DxT with larger T).\n",
+                      file=log)
+            return 1
 
     if cfg.report_type == "completeness":
         from merfin_tpu.modes.completeness import run_completeness

@@ -27,6 +27,13 @@ def setup_runtime() -> None:
     """
     import jax
 
+    # MERFIN_PLATFORM overrides the platform selection (the environment
+    # may force a default platform ahead of env vars); required for
+    # multi-host CPU tests and useful to pin "cpu" vs "tpu" explicitly.
+    plat = os.environ.get("MERFIN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     ensure_x64()
     cache = os.environ.get("MERFIN_TPU_CACHE", os.path.expanduser("~/.jax_cache"))
     try:

@@ -50,6 +50,11 @@ def run_completeness(
         return _run_completeness_mesh(read_db, asm_db, vmap, mesh,
                                       log=log, block=block)
 
+    from merfin_tpu.parallel import multihost as mh
+
+    multi = mh.is_active()
+    pid, pcount = mh.process_info() if multi else (0, 1)
+
     @jax.jit
     def slice_stats(read_keys, read_vals, read_mask, asm_keys, asm_vals, vm):
         idx = jnp.searchsorted(asm_keys, read_keys)
@@ -68,6 +73,8 @@ def run_completeness(
     compl_undrc = np.zeros(SLICES, dtype=np.float64)
 
     for ii in range(SLICES):
+        if multi and ii % pcount != pid:
+            continue   # slice stripe (reference: OpenMP dynamic over 64)
         r_keys, r_vals = read_db.slice(ii)
         a_keys, a_vals = asm_db.slice(ii)
         a_keys = np.asarray(a_keys, dtype=np.uint64)
@@ -101,7 +108,10 @@ def run_completeness(
         print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
               f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
 
-    return _report(compl_total, compl_undrc, log)
+    if multi:
+        compl_total = mh.merge_array_across_hosts(compl_total)
+        compl_undrc = mh.merge_array_across_hosts(compl_undrc)
+    return _report(compl_total, compl_undrc, log if pid == 0 else None)
 
 
 def _report(compl_total: np.ndarray, compl_undrc: np.ndarray, log):
@@ -109,10 +119,11 @@ def _report(compl_total: np.ndarray, compl_undrc: np.ndarray, log):
     undrc = float(np.sum(compl_undrc))
     completeness = 1.0 - undrc / total if total else float("nan")
 
-    print("", file=log)
-    print(f"TOTAL readK:   {total:15.2f}", file=log)
-    print(f"TOTAL undrcpy:    {undrc:15.5f}", file=log)
-    print(f"COMPLETENESS:             {completeness:0.5f}", file=log)
+    if log is not None:   # rank 0 only under multi-host
+        print("", file=log)
+        print(f"TOTAL readK:   {total:15.2f}", file=log)
+        print(f"TOTAL undrcpy:    {undrc:15.5f}", file=log)
+        print(f"COMPLETENESS:             {completeness:0.5f}", file=log)
 
     return {"total": total, "undrc": undrc, "completeness": completeness}
 

@@ -34,10 +34,25 @@ def run_dump(
     resume: bool = False,
 ):
     from merfin_tpu import native
+    from merfin_tpu.parallel import multihost as mh
 
     g_missing = 0
     g_kasm = 0
     out = None
+
+    # Multi-host: sequence stripes -> per-process part files -> ordered
+    # merge by rank 0 (the reference forces in-order dump output,
+    # merfin.C:384; across hosts that order is restored at the gather).
+    multi = mh.is_active()
+    part = None
+    pid, pcount = 0, 1
+    if multi:
+        pid, pcount = mh.process_info()
+        assert not resume, "-resume is not supported with multi-host runs"
+        if not skip_missing:
+            from merfin_tpu.utils.partmerge import PartWriter
+
+            part = PartWriter(out_name, pid)
 
     ckpt = Checkpoint(out_name, "dump", enabled=resume)
     skip = 0
@@ -57,6 +72,8 @@ def run_dump(
         for seq in prefetch_iter(seq_file.iter_coded()):
             seq_idx += 1
             if seq_idx <= skip:
+                continue
+            if multi and (seq_idx - 1) % pcount != pid:
                 continue
             print(f"Processing sequence {seq.ident} for dumping", file=log)
             seq_missing = 0
@@ -79,21 +96,36 @@ def run_dump(
             print(f"Output sequence {seq.ident}", file=log)
             offset = 0
             if not skip_missing:
-                if out is None:
-                    mode = "ab" if (resume and skip) else "wb"
-                    out = open(out_name, mode)
                 data = b"".join(blocks)
                 if is_gz:
                     data = gzip.compress(data, compresslevel=1)
-                out.write(data)
-                out.flush()
-                offset = out.tell()
+                if part is not None:
+                    part.write_seq(seq_idx, data)
+                else:
+                    if out is None:
+                        mode = "ab" if (resume and skip) else "wb"
+                        out = open(out_name, mode)
+                    out.write(data)
+                    out.flush()
+                    offset = out.tell()
             g_missing += seq_missing
             print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}", file=log)
             ckpt.save(seq_idx, offset, {"missing": g_missing, "kasm": g_kasm})
     finally:
         if out is not None:
             out.close()
+        if part is not None:
+            part.close()
+
+    if multi:
+        g_missing = int(mh.merge_scalar_across_hosts(g_missing))
+        g_kasm = int(mh.merge_scalar_across_hosts(g_kasm))
+        mh.barrier("dump-parts")
+        if pid == 0 and not skip_missing:
+            from merfin_tpu.utils.partmerge import merge_parts
+
+            merge_parts(out_name, pcount)
+        mh.barrier("dump-merged")
 
     ckpt.done()
     return {"missing": g_missing, "kasm": g_kasm}

@@ -22,6 +22,7 @@ from merfin_tpu.score.kstar import histo_qv
 
 def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stderr,
              resume: bool = False):
+    from merfin_tpu.parallel import multihost as mh
     from merfin_tpu.utils.checkpoint import Checkpoint
 
     k = engine.k
@@ -30,6 +31,15 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     g_kover = 0.0
     g_undr = np.zeros(NBINS, dtype=np.int64)
     g_over = np.zeros(NBINS, dtype=np.int64)
+
+    # Multi-host: every process takes its sequence stripe, accumulators
+    # merge across hosts at the end, rank 0 writes the outputs (the
+    # reference's Slurm scatter-gather without per-node DB duplication).
+    multi = mh.is_active()
+    pid = 0
+    if multi:
+        pid, _ = mh.process_info()
+        assert not resume, "-resume is not supported with multi-host runs"
 
     ckpt = Checkpoint(out_name, "hist", enabled=resume)
     skip = 0
@@ -43,8 +53,11 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
 
     from merfin_tpu.utils.prefetch import prefetch_iter
 
+    seqs = seq_file.iter_coded()
+    if multi:
+        seqs = mh.host_sequences(seqs)
     seq_idx = 0
-    for seq in prefetch_iter(seq_file.iter_coded()):
+    for seq in prefetch_iter(seqs):
         seq_idx += 1
         if seq_idx <= skip:
             continue
@@ -69,25 +82,35 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
             "undr": g_undr[:nz_u].tolist(), "over": g_over[:nz_o].tolist(),
         })
 
-    # histogram file (reportHistogram, merfin-histogram.C:141-163)
-    with open_write_text(out_name) as f:
-        for ii in range(NBINS - 1, 0, -1):
-            if g_undr[ii] > 0:
-                f.write(f"{ii * -0.2:.1f}\t{g_undr[ii]}\n")
-        f.write(f"{0.0:.1f}\t{g_undr[0] + g_over[0]}\n")
-        for ii in range(1, NBINS):
-            if g_over[ii] > 0:
-                f.write(f"{ii * 0.2:.1f}\t{g_over[ii]}\n")
+    if multi:
+        g_missing = int(mh.merge_scalar_across_hosts(g_missing))
+        g_kasm = int(mh.merge_scalar_across_hosts(g_kasm))
+        g_kover = mh.merge_scalar_across_hosts(g_kover)
+        g_undr = mh.merge_array_across_hosts(g_undr)
+        g_over = mh.merge_array_across_hosts(g_over)
 
-    print("", file=log)
-    print(f"K-mers not found in reads (missing) : {g_missing}", file=log)
-    print(f"K-mers overly represented in assembly: {g_kover:.2f}", file=log)
-    print(f"K-mers found in the assembly: {g_kasm}", file=log)
-    print(f"Missing QV: {histo_qv(g_missing, g_kasm, k):.2f}", file=log)
-    print(f"Merfin QV*: {histo_qv(g_missing + g_kover, g_kasm, k):.2f}", file=log)
-    print("*** Note this QV is valid only if -seqmer was generated with -sequence ***\n", file=log)
-    print("*** Missing QV only considers missing kmers as errors. Merfin QV* includes overrepresented kmers. ***\n", file=log)
-    print("*** When the lookup table is provided, missing QV includes weighted low frequency kmers, otherwise it is identical to Merqury QV. ***\n", file=log)
+    if pid == 0:
+        # histogram file (reportHistogram, merfin-histogram.C:141-163)
+        with open_write_text(out_name) as f:
+            for ii in range(NBINS - 1, 0, -1):
+                if g_undr[ii] > 0:
+                    f.write(f"{ii * -0.2:.1f}\t{g_undr[ii]}\n")
+            f.write(f"{0.0:.1f}\t{g_undr[0] + g_over[0]}\n")
+            for ii in range(1, NBINS):
+                if g_over[ii] > 0:
+                    f.write(f"{ii * 0.2:.1f}\t{g_over[ii]}\n")
+
+        print("", file=log)
+        print(f"K-mers not found in reads (missing) : {g_missing}", file=log)
+        print(f"K-mers overly represented in assembly: {g_kover:.2f}", file=log)
+        print(f"K-mers found in the assembly: {g_kasm}", file=log)
+        print(f"Missing QV: {histo_qv(g_missing, g_kasm, k):.2f}", file=log)
+        print(f"Merfin QV*: {histo_qv(g_missing + g_kover, g_kasm, k):.2f}", file=log)
+        print("*** Note this QV is valid only if -seqmer was generated with -sequence ***\n", file=log)
+        print("*** Missing QV only considers missing kmers as errors. Merfin QV* includes overrepresented kmers. ***\n", file=log)
+        print("*** When the lookup table is provided, missing QV includes weighted low frequency kmers, otherwise it is identical to Merqury QV. ***\n", file=log)
+    if multi:
+        mh.barrier("hist-done")
 
     ckpt.done()
     return {

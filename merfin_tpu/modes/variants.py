@@ -196,6 +196,21 @@ def run_variants(
     out = None  # lazily opened, like outputVariants (merfin-variants.C:321)
     dbg = DebugWriter(out_name) if debug else None
 
+    # Multi-host: sequence stripes -> per-process part files (no headers)
+    # -> ordered merge with headers by rank 0.
+    from merfin_tpu.parallel import multihost as mh
+
+    multi = mh.is_active()
+    part = None
+    pid, pcount = 0, 1
+    if multi:
+        pid, pcount = mh.process_info()
+        assert not resume and not debug, \
+            "-resume/-debug are not supported with multi-host runs"
+        from merfin_tpu.utils.partmerge import PartWriter
+
+        part = PartWriter(out_path, pid)
+
     # Checkpoint/resume at the sequence boundary (not combinable with
     # -debug: the per-thread debug gz stream is not offset-restartable).
     ckpt = Checkpoint(out_name, f"variants-{mode}", enabled=resume and not debug)
@@ -222,13 +237,17 @@ def run_variants(
         seq_idx += 1
         if seq_idx <= skip:
             continue
+        if multi and (seq_idx - 1) % pcount != pid:
+            continue
         # The reference's writer opens the output (headers included) for
         # the first sequence regardless of whether it has any variants
         # (outputVariants runs per sequence, merfin-variants.C:313-341).
-        ensure_out()
+        if not multi:
+            ensure_out()
         clusters = vcf.by_chrom.get(seq.ident)
         if clusters is None:
-            ckpt.save(seq_idx, out.tell(), {})
+            if not multi:
+                ckpt.save(seq_idx, out.tell(), {})
             continue
         print(f"Processing sequence {seq.ident} for variants", file=log)
 
@@ -290,16 +309,30 @@ def run_variants(
 
         text = "".join(result_parts)
         n_selected += text.count("\n")
-        f = ensure_out()
-        f.write(text.encode())
-        f.flush()
-        ckpt.save(seq_idx, f.tell(), {})
+        if part is not None:
+            part.write_seq(seq_idx, text.encode())
+        else:
+            f = ensure_out()
+            f.write(text.encode())
+            f.flush()
+            ckpt.save(seq_idx, f.tell(), {})
 
     if pool is not None:
         pool.close()
         pool.join()
     if out is not None:
         out.close()
+    if part is not None:
+        part.close()
+    if multi:
+        from merfin_tpu.utils.partmerge import merge_parts
+
+        n_selected = int(mh.merge_scalar_across_hosts(n_selected))
+        mh.barrier("variants-parts")
+        if pid == 0:
+            header = "".join(h + "\n" for h in vcf.headers).encode()
+            merge_parts(out_path, pcount, header=header)
+        mh.barrier("variants-merged")
     if dbg is not None:
         dbg.close()
     ckpt.done()

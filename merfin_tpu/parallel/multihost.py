@@ -22,6 +22,8 @@ single-process behavior is exercised (tests use process_count == 1).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from merfin_tpu.config import ensure_x64
@@ -35,11 +37,63 @@ def init(coordinator: str | None = None, num_processes: int | None = None,
 
     if num_processes is None or num_processes <= 1:
         return
+    # cross-process CPU collectives need the gloo transport (no-op for
+    # TPU backends, which use their own ICI/DCN collectives)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+_env_initialized = False
+
+
+def maybe_init_from_env(log=None) -> bool:
+    """Join a distributed job when MERFIN_NUM_PROCESSES > 1.
+
+    Env contract (the jax.distributed analog of the reference's Slurm
+    array scatter, scripts/parallel1/_submit_merfin.sh:57-70):
+      MERFIN_NUM_PROCESSES  total process count
+      MERFIN_PROCESS_ID     this process's rank (0-based)
+      MERFIN_COORDINATOR    host:port of rank 0 (default 127.0.0.1:9876)
+    """
+    global _env_initialized
+    n = int(os.environ.get("MERFIN_NUM_PROCESSES", "1") or "1")
+    if n <= 1:
+        return False
+    if not _env_initialized:
+        init(
+            coordinator=os.environ.get("MERFIN_COORDINATOR", "127.0.0.1:9876"),
+            num_processes=n,
+            process_id=int(os.environ.get("MERFIN_PROCESS_ID", "0")),
+        )
+        _env_initialized = True
+    if log is not None:
+        pid, pcount = process_info()
+        print(f"-- Joined distributed job: process {pid} of {pcount}.",
+              file=log)
+    return True
+
+
+def is_active() -> bool:
+    import jax
+
+    return jax.process_count() > 1
+
+
+def barrier(name: str = "merfin") -> None:
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def process_info() -> tuple[int, int]:
@@ -88,5 +142,6 @@ def merge_array_across_hosts(x: np.ndarray) -> np.ndarray:
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
-    out = multihost_utils.process_allgather(np.asarray(x)[None])
+    # process_allgather stacks a leading process axis itself
+    out = multihost_utils.process_allgather(np.asarray(x))
     return np.asarray(out).sum(axis=0)

@@ -116,6 +116,22 @@ def test_threads_output_identical(world, tmp_path):
     assert len([l for l in serial.splitlines() if not l.startswith("#")]) == 3
 
 
+def test_hbm_fail_fast_suggests_mesh(world, capsys, monkeypatch):
+    """Tables larger than device HBM error out with a -mesh hint instead
+    of OOMing at device_put (merfin-globals.C:148-153 semantics)."""
+    from merfin_tpu import cli
+
+    monkeypatch.setattr(cli, "_device_hbm_gb", lambda: 1e-6)
+    rc = cli.merfin_main([
+        "-hist", "-sequence", world["fasta"],
+        "-readmers", world["read_db"].path,
+        "-seqmers", world["asm_db"].path,
+        "-peak", "25", "-output", str(world["tmp"] / "hbm")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "GB per device" in err and "-mesh" in err
+
+
 def test_cli_mesh_validation(world, capsys):
     from merfin_tpu.cli import merfin_main
 

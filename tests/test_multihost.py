@@ -1,0 +1,139 @@
+"""Real 2-process jax.distributed end-to-end: every CLI mode family runs
+as two coordinated processes (sequence/slice stripes, collective merges,
+rank-0 output) and must produce byte-identical output files vs the
+single-process CLI (VERDICT round 1, item 4)."""
+
+import io
+import os
+import random
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from merfin_tpu.io.fasta import SeqFile
+from merfin_tpu.modes.completeness import run_completeness
+from tests import refmodel
+from tests.util import db_from_dict, random_dna
+
+K = 11
+ALT_OF = {"A": "C", "C": "G", "G": "T", "T": "A"}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mh")
+    rng = random.Random(31)
+    scaffolds = []
+    err_positions = []
+    for i in range(3):          # 3 scaffolds so both ranks get stripes
+        g = random_dna(rng, 500)
+        asm = list(g)
+        p = 100 + 60 * i
+        asm[p] = ALT_OF[asm[p]]
+        scaffolds.append(("".join(asm), g, p))
+    reads = [g for _, g, _ in scaffolds] * 20
+    asms = [a for a, _, _ in scaffolds]
+
+    db_from_dict(refmodel.count_canonical(reads, K), K, str(tmp / "read.mkdb"))
+    db_from_dict(refmodel.count_canonical(asms, K), K, str(tmp / "asm.mkdb"))
+
+    (tmp / "asm.fasta").write_text(
+        "".join(f">s{i}\n{a}\n" for i, (a, _, _) in enumerate(scaffolds)))
+
+    rows = []
+    for i, (a, g, p) in enumerate(scaffolds):
+        rows.append((f"s{i}", p + 1, a[p], g[p]))
+    (tmp / "calls.vcf").write_text(
+        "##fileformat=VCFv4.2\n"
+        + "".join(f"##contig=<ID=s{i}>\n" for i in range(3))
+        + "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        + "".join(f"{c}\t{p}\t.\t{r}\t{a}\t30\tPASS\t.\tGT\t1/1\n"
+                  for c, p, r, a in rows))
+    return tmp
+
+
+DRIVER = """
+import sys
+from merfin_tpu.cli import merfin_main
+
+tmp, tag = sys.argv[1], sys.argv[2]
+base = ["-sequence", f"{tmp}/asm.fasta", "-readmers", f"{tmp}/read.mkdb",
+        "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20"]
+assert merfin_main(["-hist"] + base + ["-output", f"{tmp}/{tag}.hist"]) == 0
+assert merfin_main(["-completeness", "-readmers", f"{tmp}/read.mkdb",
+                    "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20"]) == 0
+assert merfin_main(["-dump"] + base + ["-output", f"{tmp}/{tag}.dump"]) == 0
+assert merfin_main(["-polish"] + base + ["-vcf", f"{tmp}/calls.vcf",
+                    "-output", f"{tmp}/{tag}.pol"]) == 0
+print("ALLDONE")
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_driver(tmp, tag, extra_env):
+    env = {**os.environ,
+           "PYTHONPATH": REPO,
+           "MERFIN_PLATFORM": "cpu",
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "",
+           "MERFIN_TPU_CACHE": str(tmp / "jaxcache"),
+           **extra_env}
+    return subprocess.Popen(
+        [sys.executable, "-c", DRIVER, str(tmp), tag],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+
+def test_two_process_matches_single(world):
+    tmp = world
+    port = _free_port()
+
+    # single-process reference outputs
+    p = _run_driver(tmp, "one", {})
+    out, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()[-3000:]
+    assert b"ALLDONE" in out
+    single_err = err.decode()
+
+    procs = [
+        _run_driver(tmp, "two", {
+            "MERFIN_NUM_PROCESSES": "2",
+            "MERFIN_PROCESS_ID": str(i),
+            "MERFIN_COORDINATOR": f"127.0.0.1:{port}",
+        })
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+        assert b"ALLDONE" in out
+
+    # -hist and -dump and -polish outputs byte-identical
+    for suffix in ("hist", "dump", "pol.polish.vcf"):
+        a = (tmp / f"one.{suffix}").read_bytes()
+        b = (tmp / f"two.{suffix}").read_bytes()
+        assert a == b, f"{suffix} differs between 1- and 2-process runs"
+    # no leftover part files
+    assert not list(tmp.glob("*.part*"))
+
+    # -completeness summary identical and correct (only rank 0 prints it)
+    err0 = outs[0][1].decode()
+    err1 = outs[1][1].decode()
+    want = next(l for l in single_err.splitlines() if "COMPLETENESS" in l)
+    assert want in err0
+    assert "COMPLETENESS" not in err1
+
+    # polish still picks exactly the 3 corrections
+    recs = [l for l in (tmp / "two.pol.polish.vcf").read_text().splitlines()
+            if not l.startswith("#")]
+    assert len(recs) == 3
+    assert [r.split("\t")[0] for r in recs] == ["s0", "s1", "s2"]
