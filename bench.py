@@ -1,29 +1,133 @@
-"""Benchmark: k-mer exact-lookup throughput on the TPU chip.
+"""Benchmark: merfin_tpu throughput on the TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-The headline metric is canonical k-mer lookups/second through the
-device-resident exact table (the operation that dominates every merfin
-mode, SURVEY.md §3.2), measured end-to-end under jit on a synthetic
-k=21 table sized to be HBM-resident.  vs_baseline compares against a
-single-core numpy searchsorted on this host — the reference engine's
-probe is a comparable single-threaded memory-latency-bound lookup
-(merylExactLookup::value per k-mer; the reference publishes no numbers,
-BASELINE.md).
+Headline: canonical k-mer lookups/second through the sorted-join Pallas
+table (the operation dominating every merfin mode, SURVEY.md §3.2),
+vs a single-core numpy searchsorted baseline (the reference engine's
+probe is a comparable single-threaded memory-latency-bound lookup;
+the reference publishes no numbers, BASELINE.md).
+
+extra carries the mode-level numbers the VERDICT asked for:
+  join_v4_lookups_per_sec   the fence-narrowing kernel (flat table scaling)
+  hist_bases_per_sec        end-to-end -hist engine throughput on the chip
+  variant_clusters_per_sec  end-to-end variant evaluation (enumerate +
+                            batched device scoring + select), serial host
+  cpu_lookups_per_sec       the baseline probe rate
+
+Env knobs: BENCH_LOG_TABLE/BENCH_LOG_QUERY (default 23), BENCH_SKIP_MODES=1
+to print only the headline (fast path for kernel iteration).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 
-def main() -> None:
-    import os
+def _bench_join(keys, vals, k, q_np, iters=10):
+    import jax
+    import jax.numpy as jnp
 
+    from merfin_tpu.ops.join_kernel import SortJoinTable
+    from merfin_tpu.ops.join_kernel4 import SortJoinTableV4
+
+    q = jnp.asarray(q_np)
+    rates = {}
+    for name, cls in (("v1", SortJoinTable), ("v4", SortJoinTableV4)):
+        sj = cls(keys, vals, k)
+        tree = sj.tree()   # table rides as a jit ARGUMENT (program reuse)
+        impl = jax.jit(lambda tr, qq, s=sj: s.lookup_sorted_with(tr, jnp.sort(qq)))
+        np.asarray(impl(tree, q))   # warmup + compile (forces remote fetch)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = impl(tree, q)
+        _ = np.asarray(out)
+        rates[name] = q_np.size * iters / (time.perf_counter() - t0)
+    return rates
+
+
+def _bench_hist(keys, read_vals, asm_vals, k):
+    """End-to-end -hist engine rate (bases/s) on a synthetic chunk set."""
+    from merfin_tpu.modes.engine import KstarEngine
+    from merfin_tpu.table.lookup import DeviceLookup
+
+    engine = KstarEngine(DeviceLookup(keys, read_vals, k),
+                         DeviceLookup(keys, asm_vals, k),
+                         k, peak=12.0, chunk=1 << 19, batch=4)
+    rng = np.random.default_rng(3)
+    n_bases = 1 << 23
+    codes = rng.integers(0, 4, size=n_bases).astype(np.uint8)
+    engine.hist_sequence(codes[: (1 << 21) + k])   # warmup/compile
+    t0 = time.perf_counter()
+    engine.hist_sequence(codes)
+    return n_bases / (time.perf_counter() - t0)
+
+
+def _bench_variants(k=21, n_clusters=1500, spacing=120):
+    """End-to-end variant evaluation: clusters/s through run_variants
+    (enumeration + batched device lookups + selection, -polish policy)."""
+    import io
+    import random
+
+    from merfin_tpu.io.fasta import SeqFile
+    from merfin_tpu.io.vcf import VcfFile
+    from merfin_tpu.modes.variants import run_variants
+    from merfin_tpu.table.lookup import DeviceLookup
+    from merfin_tpu.kcore.pack import kmers_from_codes_np, encode_bases
+
+    rng = random.Random(9)
+    alt_of = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    n = n_clusters * spacing + 2 * k
+    genome = "".join(rng.choice("ACGT") for _ in range(n))
+    asm = list(genome)
+    positions = [spacing * i + k for i in range(n_clusters)]
+    for p in positions:
+        asm[p] = alt_of[asm[p]]
+    asm = "".join(asm)
+
+    def canon_counts(s, mult):
+        codes = encode_bases(s)
+        f, r, valid = kmers_from_codes_np(codes, k)
+        canon = np.minimum(f, r)[valid]
+        ks, cs = np.unique(canon, return_counts=True)
+        return ks.astype(np.uint64), (cs * mult).astype(np.uint32)
+
+    rk, rv = canon_counts(genome, 30)
+    ak, av = canon_counts(asm, 1)
+    read_lookup = DeviceLookup(rk, rv, k)
+    asm_lookup = DeviceLookup(ak, av, k)
+
+    with tempfile.TemporaryDirectory() as td:
+        fasta = os.path.join(td, "asm.fasta")
+        with open(fasta, "w") as f:
+            f.write(">c\n" + asm + "\n")
+        vcfp = os.path.join(td, "c.vcf")
+        with open(vcfp, "w") as f:
+            f.write("##fileformat=VCFv4.2\n##contig=<ID=c>\n"
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+            for p in positions:
+                f.write(f"c\t{p + 1}\t.\t{asm[p]}\t{genome[p]}\t30\tPASS\t.\tGT\t1/1\n")
+        vcf = VcfFile(vcfp, log=io.StringIO())
+        vcf.merge_clusters(k, 15, False, log=io.StringIO())
+        n_real = sum(len(v) for v in vcf.by_chrom.values())
+        t0 = time.perf_counter()
+        res = run_variants("polish", SeqFile(fasta), vcf, k,
+                           read_lookup.lookup_np, asm_lookup.lookup_np,
+                           peak=30.0, prob_table=None,
+                           out_name=os.path.join(td, "out"),
+                           log=io.StringIO())
+        dt = time.perf_counter() - t0
+        assert res["records"] == n_clusters, res
+    return n_real / dt
+
+
+def main() -> None:
     from merfin_tpu.config import ensure_x64
 
     ensure_x64()
@@ -35,8 +139,6 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    import jax.numpy as jnp
-
     k = 21
     n_table = 1 << int(os.environ.get("BENCH_LOG_TABLE", 23))
     n_query = 1 << int(os.environ.get("BENCH_LOG_QUERY", 23))
@@ -44,6 +146,7 @@ def main() -> None:
 
     keys = np.unique(rng.integers(0, 1 << (2 * k), size=n_table).astype(np.uint64))
     vals = rng.integers(1, 1000, size=keys.size).astype(np.uint32)
+    asm_vals = rng.integers(1, 3, size=keys.size).astype(np.uint32)
 
     # queries: half hits, half misses
     hit_idx = rng.integers(0, keys.size, size=n_query // 2)
@@ -51,29 +154,7 @@ def main() -> None:
     q_np = np.concatenate([keys[hit_idx], misses])
     rng.shuffle(q_np)
 
-    # Headline: the sorted-join Pallas kernel (the hist/completeness/count
-    # hot path — consumers reduce, so queries are device-sorted and never
-    # unsorted).  merfin_tpu/ops/join_kernel.py.
-    from merfin_tpu.ops.join_kernel import SortJoinTable
-
-    sj = SortJoinTable(keys, vals, k)
-    q = jnp.asarray(q_np)
-    tree = sj.tree()   # table rides as a jit ARGUMENT (program reuse)
-    join_impl = jax.jit(lambda tr, qq: sj.lookup_sorted_with(tr, jnp.sort(qq)))
-    join = lambda qq: join_impl(tree, qq)
-
-    # warmup + compile (np.asarray forces a real result fetch: on the
-    # tunneled backend block_until_ready alone returns before the remote
-    # compile/execute completes)
-    np.asarray(join(q))
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = join(q)
-    _ = np.asarray(out)
-    dt = time.perf_counter() - t0
-    tpu_rate = n_query * iters / dt
+    rates = _bench_join(keys, vals, k, q_np)
 
     # CPU baseline: single-threaded numpy searchsorted (reference-style probe)
     cpu_n = 1 << 20
@@ -83,14 +164,25 @@ def main() -> None:
     idx = np.minimum(idx, keys.size - 1)
     hit = keys[idx] == qc
     _ = np.where(hit, vals[idx], 0)
-    cpu_dt = time.perf_counter() - t0
-    cpu_rate = cpu_n / cpu_dt
+    cpu_rate = cpu_n / (time.perf_counter() - t0)
 
+    extra = {
+        "join_v1_lookups_per_sec": round(rates["v1"]),
+        "join_v4_lookups_per_sec": round(rates["v4"]),
+        "cpu_lookups_per_sec": round(cpu_rate),
+    }
+    if os.environ.get("BENCH_SKIP_MODES") != "1":
+        extra["hist_bases_per_sec"] = round(
+            _bench_hist(keys, vals, asm_vals, k))
+        extra["variant_clusters_per_sec"] = round(_bench_variants(), 1)
+
+    best = max(rates["v1"], rates["v4"])
     print(json.dumps({
         "metric": "kmer_exact_lookups_per_sec_per_chip",
-        "value": round(tpu_rate),
+        "value": round(best),
         "unit": "lookups/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline": round(best / cpu_rate, 2),
+        "extra": extra,
     }))
 
 

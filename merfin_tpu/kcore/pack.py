@@ -66,6 +66,14 @@ def kmers_from_codes_np(
         e = np.zeros(0, dtype=np.uint64)
         return e, e.copy(), np.zeros(0, dtype=bool)
 
+    # native single-pass rolling extractor (the numpy fallback below does
+    # 2k full-array passes with uint64 temporaries — ~30x slower)
+    from merfin_tpu import native
+
+    out = native.kmers_from_codes(codes, k)
+    if out is not None:
+        return out
+
     good = codes < 4
     c = np.where(good, codes, 0).astype(np.uint64)
 

@@ -91,6 +91,20 @@ def prepare_cluster(
     return r[0], r[1], _enumerate_task(r[2])
 
 
+_POOL_MIN_PATHS = 64   # ship a cluster to a worker only past this size
+
+
+def _est_paths(haps) -> int:
+    """Upper bound on enumerated paths for a cluster (product of allele
+    counts, capped)."""
+    est = 1
+    for h in haps:
+        est *= max(1, len(h))
+        if est >= 1 << 20:
+            break
+    return est
+
+
 def _enumerate_task(args):
     """Worker task: REF/ALT path enumeration (merfin-variants.C:22-126)."""
     if args is None:
@@ -185,11 +199,17 @@ def run_variants(
     filter_mode = mode == "filter"
 
     pool = None
-    if threads and threads > 1:
-        import multiprocessing as mp
 
-        # spawn, not fork: the parent holds live device runtime state
-        pool = mp.get_context("spawn").Pool(threads)
+    def get_pool():
+        """Spawn the worker pool on first heavy cluster (spawn startup is
+        ~1s; a run of all-light clusters never pays it).  spawn, not
+        fork: the parent holds live device runtime state."""
+        nonlocal pool
+        if pool is None and threads and threads > 1:
+            import multiprocessing as mp
+
+            pool = mp.get_context("spawn").Pool(threads)
+        return pool
 
     suffix = "polish" if mode == "polish" else "filter"
     out_path = f"{out_name}.{suffix}.vcf"
@@ -257,10 +277,23 @@ def run_variants(
             r = prepare_cluster_args(seq, pos_gt, k, comb, log=log)
             prepared.append(None if r is None else (pos_gt, r[0], r[1], r[2]))
 
-        # enumerate REF/ALT paths — CPU-bound, fans out over the pool
+        # enumerate REF/ALT paths — CPU-bound, fans out over the pool.
+        # Only combinatorially heavy clusters go to workers: for small
+        # ones the pickle round-trip costs more than the enumeration.
         enum_args = [p[3] if p is not None else None for p in prepared]
-        if pool is not None:
-            paths_list = pool.map(_enumerate_task, enum_args)
+        paths_list = [None] * len(enum_args)
+        heavy = [i for i, a in enumerate(enum_args)
+                 if a is not None and _est_paths(a[3]) >= _POOL_MIN_PATHS] \
+            if threads and threads > 1 else []
+        if heavy:
+            heavy_set = set(heavy)
+            async_res = get_pool().map_async(_enumerate_task,
+                                             [enum_args[i] for i in heavy])
+            for i, a in enumerate(enum_args):
+                if i not in heavy_set:
+                    paths_list[i] = _enumerate_task(a)
+            for i, r in zip(heavy, async_res.get()):
+                paths_list[i] = r
         else:
             paths_list = [_enumerate_task(a) for a in enum_args]
 
@@ -280,15 +313,28 @@ def run_variants(
                     groups.append([])
                 j += 1
             all_scores[i:j] = score_path_groups(
-                groups, k, lookup_read, lookup_asm, peak, prob_table, filter_mode
+                groups, k, lookup_read, lookup_asm, peak, prob_table,
+                filter_mode, threads=max(1, threads)
             )
             i = j
 
         # per-cluster selection — CPU-bound, fans out over the pool
+        # (heavy clusters only, same pickle-cost reasoning as above)
         tasks = [(mode, paths_list[idx], all_scores[idx], entry[0], k)
                  for idx, entry in enumerate(prepared) if entry is not None]
-        if pool is not None:
-            selected = pool.map(_select_task, tasks)
+        heavy = [i for i, t in enumerate(tasks)
+                 if len(t[1]) >= _POOL_MIN_PATHS] \
+            if threads and threads > 1 else []
+        if heavy:
+            heavy_set = set(heavy)
+            async_res = get_pool().map_async(_select_task,
+                                             [tasks[i] for i in heavy])
+            selected = [None] * len(tasks)
+            for i, t in enumerate(tasks):
+                if i not in heavy_set:
+                    selected[i] = _select_task(t)
+            for i, r in zip(heavy, async_res.get()):
+                selected[i] = r
         else:
             selected = [_select_task(t) for t in tasks]
 

@@ -55,6 +55,12 @@ def get_lib():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.mt_kmers_from_codes.restype = ctypes.c_int64
+    lib.mt_kmers_from_codes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.mt_stream_state_size.restype = ctypes.c_int64
     lib.mt_stream_state_size.argtypes = []
     lib.mt_stream_init.restype = None
@@ -116,6 +122,27 @@ class StreamParser:
         names = [x.decode("ascii", "replace") for x in raw.split(b"\0")[:-1]] \
             if raw else []
         return (names, codes, piece_off[: np_ + 1], piece_new[:np_] != 0)
+
+
+def kmers_from_codes(codes: np.ndarray, k: int):
+    """Native rolling k-mer extraction: (fmer, rmer, valid) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = max(0, codes.shape[0] - k + 1)
+    fmer = np.empty(n, dtype=np.uint64)
+    rmer = np.empty(n, dtype=np.uint64)
+    valid = np.empty(n, dtype=np.uint8)
+    if n:
+        lib.mt_kmers_from_codes(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            codes.shape[0], k,
+            fmer.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            rmer.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    return fmer, rmer, valid != 0
 
 
 def parse_seqs(data: bytes):

@@ -142,6 +142,41 @@ int64_t mt_format_dump_rows(const char* ident, int64_t start,
   return w;
 }
 
+// Rolling k-mer extraction over a 2-bit code array: single pass,
+// O(1) state per position (the kmerIterator contract, consumed at
+// merfin-dump.C:44-61).  The numpy equivalent does 2k full-array passes
+// with uint64 temporaries; this is the host hot path for variant-window
+// scoring, so it matters.
+//
+// out_fmer[i]  = big-endian 2-bit pack of codes[i..i+k)
+// out_rmer[i]  = reverse complement pack
+// out_valid[i] = 1 iff the window has no code >= 4
+// n_out = len - k + 1 (caller allocates; returns n_out, or 0 if len < k).
+int64_t mt_kmers_from_codes(const uint8_t* codes, int64_t len, int64_t k,
+                            uint64_t* out_fmer, uint64_t* out_rmer,
+                            uint8_t* out_valid) {
+  const int64_t n = len - k + 1;
+  if (n <= 0) return 0;
+  const uint64_t fmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int rshift = 2 * (int)(k - 1);
+  uint64_t fmer = 0, rmer = 0;
+  int64_t last_bad = -1;   // most recent invalid position
+  for (int64_t i = 0; i < len; i++) {
+    const uint64_t c = codes[i];
+    const uint64_t cc = (c < 4) ? c : 0;
+    if (c >= 4) last_bad = i;
+    fmer = ((fmer << 2) | cc) & fmask;
+    rmer = (rmer >> 2) | ((3ULL - cc) << rshift);
+    const int64_t w = i - k + 1;   // window ending at i starts at w
+    if (w >= 0) {
+      out_fmer[w] = fmer;
+      out_rmer[w] = rmer;
+      out_valid[w] = (uint8_t)(last_bad < w);
+    }
+  }
+  return n;
+}
+
 // ---------------------------------------------------------------------------
 // Streaming FASTA/FASTQ parser.
 //

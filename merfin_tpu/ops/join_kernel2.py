@@ -1,5 +1,9 @@
 """Sorted-join lookup kernel v2 — hierarchical fence narrowing.
 
+SUPERSEDED: kept as measured lineage with tests, not on any hot path.
+The engine dispatches v1 (small table/query ratios) or v4 (flat table
+scaling) — see modes/engine.py kernel selection and docs/PERF.md.
+
 v1 (join_kernel.py) compares every query in a block against the block's
 entire table window: cost QB x window.  v2 adds a narrowing level:
 

@@ -1,5 +1,9 @@
 """Sorted-join lookup kernel v3 — packed segment records + double-buffered DMA.
 
+SUPERSEDED: kept as measured lineage with tests, not on any hot path.
+The engine dispatches v1 (small table/query ratios) or v4 (flat table
+scaling) — see modes/engine.py kernel selection and docs/PERF.md.
+
 Same join algorithm as v2 (fence narrowing + exact-f32 one-hot MXU row
 pull, join_kernel2.py), restructured for DMA efficiency: each table
 segment is ONE contiguous record

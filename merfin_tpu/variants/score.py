@@ -113,11 +113,32 @@ def _scores_batched(
     peak: float,
     prob_table: ProbTable | None,
     filter_mode: bool,
+    threads: int = 1,
 ) -> list[PathScore]:
     """Vectorized-across-paths scoring: one padded [P, Lmax] pass instead
     of a numpy call-chain per path (the host hot loop at HG002 scale).
-    Semantics identical to score_path_from_values (tested against it)."""
+    Semantics identical to score_path_from_values (tested against it).
+
+    ``threads`` > 1 splits the rows into contiguous blocks computed by a
+    thread pool — every row is independent and the [P, L] numpy kernels
+    release the GIL, so this scales on real cores with zero pickling.
+    """
     P = len(paths)
+    if threads > 1 and P >= 4 * threads:
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = [P * t // threads for t in range(threads + 1)]
+        with ThreadPoolExecutor(threads) as ex:
+            futs = [
+                ex.submit(_scores_batched, paths[a:b], k,
+                          read_v_parts[a:b], asm_v_parts[a:b],
+                          valid_parts[a:b], peak, prob_table, filter_mode)
+                for a, b in zip(bounds, bounds[1:]) if b > a
+            ]
+            out: list[PathScore] = []
+            for f in futs:
+                out.extend(f.result())
+        return out
     lens = np.asarray([v.shape[0] for v in read_v_parts], dtype=np.int64)
     lmax = int(lens.max()) if P else 0
     if lmax == 0:
@@ -180,11 +201,13 @@ def score_path_groups(
     peak: float,
     prob_table: ProbTable | None,
     filter_mode: bool = False,
+    threads: int = 1,
 ) -> list[list[PathScore]]:
     """Score paths of many clusters with ONE batched lookup dispatch.
 
     lookup_* map a uint64 canonical-mer numpy array -> uint64 value array
     (0 for absent); they may run on device (DeviceLookup) or host.
+    ``threads`` parallelizes the post-lookup scoring math across cores.
     """
     # Pack every path's bases into ONE code stream with k-1 separators and
     # extract all k-mers in a single vectorized pass (a per-path
@@ -224,7 +247,7 @@ def score_path_groups(
 
     flat_scores = _scores_batched(
         all_paths, k, read_parts, asm_parts, valid_parts,
-        peak, prob_table, filter_mode)
+        peak, prob_table, filter_mode, threads=threads)
 
     out: list[list[PathScore]] = []
     qi = 0
