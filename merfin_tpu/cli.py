@@ -148,9 +148,13 @@ def _usage() -> None:
         "  Plus all reference options: -seqmers -min -max -threads -memory\n"
         "  -nosplit -comb -debug -skipMissing\n"
         "  Extensions: -resume (checkpointed restart), -mesh DxT (shard the\n"
-        "  tables over a device mesh), -sortjoin/-nosortjoin (Pallas join\n"
-        "  kernel for -hist; auto on accelerators).\n"
-        "  Databases are MKDB directories (build with: merfin-tpu count k=21 in.fq output db);\n"
+        "  tables over a device mesh; all report types), -sortjoin/-nosortjoin\n"
+        "  (Pallas join kernel for -hist; auto on accelerators).\n"
+        "  Multi-host: set MERFIN_NUM_PROCESSES, MERFIN_PROCESS_ID and\n"
+        "  MERFIN_COORDINATOR (host:port) on every host; sequences/DB slices\n"
+        "  stripe across processes and rank 0 writes the merged outputs.\n"
+        "  Databases are MKDB directories (build with: merfin-tpu count k=21 in.fq output db;\n"
+        "  add memory=GB to bound the counter with disk spill);\n"
         "  import a meryl db via its text dump: merfin-tpu import dump.txt output=db.\n\n"
     )
 

@@ -94,7 +94,10 @@ class KstarEngine:
         # compiled programs are table-independent (closure-captured
         # tables bake into the executable: huge compiles, zero cache
         # reuse across databases).
-        self._hist_step_impl = jax.jit(self._hist_chunk)
+        # The hist step ACCUMULATES into a device-resident state (donated
+        # buffers): the host loop never syncs mid-sequence, so dispatches
+        # pipeline instead of round-tripping per batch.
+        self._hist_step_impl = jax.jit(self._hist_chunk_acc, donate_argnums=0)
         self._dump_step_impl = jax.jit(self._dump_chunk)
 
     def _step_args(self):
@@ -104,9 +107,16 @@ class KstarEngine:
             tables = (self.read_lookup.tree(), self.asm_lookup.tree())
         return tables + (self.value_map.device_arrays(),)
 
-    def _hist_step(self, codes):
-        return self._hist_step_impl(codes, *self._step_args(),
+    def _hist_step(self, state, codes):
+        return self._hist_step_impl(state, codes, *self._step_args(),
                                     self.bin_table.device_arrays())
+
+    def _zero_hist_state(self):
+        import jax.numpy as jnp
+
+        return (jnp.int64(0), jnp.int64(0), jnp.float64(0.0),
+                jnp.zeros(NBINS, jnp.int64), jnp.zeros(NBINS, jnp.int64),
+                jnp.int64(0), jnp.int64(0), jnp.int64(0))
 
     def _dump_step(self, codes):
         # dump always uses the gather tables (it needs positional output)
@@ -192,6 +202,18 @@ class KstarEngine:
         return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 
+    def _hist_chunk_acc(self, state, codes, r_tree, a_tree, vm, bins):
+        """_hist_chunk folded into a running device state (accumulation
+        order matches the old per-batch host adds: batch order)."""
+        import jax.numpy as jnp
+
+        (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
+         overflow, fallbacks) = self._hist_chunk(codes, r_tree, a_tree, vm, bins)
+        return (state[0] + kasm, state[1] + kmissing, state[2] + kover,
+                state[3] + undr_hist, state[4] + over_hist,
+                jnp.maximum(state[5], max_idx), state[6] + overflow,
+                state[7] + fallbacks)
+
     def _dump_chunk(self, codes, r_tree, a_tree, vm):
         """codes uint8 [C + k - 1] -> per-position readK/asmK/K* + counts.
 
@@ -219,29 +241,33 @@ class KstarEngine:
             yield start, buf
 
     def hist_sequence(self, codes: np.ndarray) -> tuple[SeqStats, np.ndarray, np.ndarray]:
-        """Full -hist stats for one sequence's code array."""
+        """Full -hist stats for one sequence's code array.
+
+        The per-batch results fold into a device-resident state; the host
+        fetches ONCE per sequence, so batches pipeline asynchronously (no
+        dispatch/fetch round trip per batch).
+        """
         stats = SeqStats()
         undr = np.zeros(NBINS, dtype=np.int64)
         over = np.zeros(NBINS, dtype=np.int64)
         if codes.shape[0] < self.k:
             return stats, undr, over
 
+        state = self._zero_hist_state()
         batch_buf = []
         for _, buf in self.chunks_of(codes):
             batch_buf.append(buf)
             if len(batch_buf) == self.batch:
-                self._hist_apply(np.stack(batch_buf), stats, undr, over)
+                state = self._hist_step(state, np.stack(batch_buf))
                 batch_buf = []
         if batch_buf:
             # pad the batch with all-invalid rows to keep one compiled shape
             while len(batch_buf) < self.batch:
                 batch_buf.append(np.full(self.chunk + self.k - 1, PAD_CODE, np.uint8))
-            self._hist_apply(np.stack(batch_buf), stats, undr, over)
-        return stats, undr, over
+            state = self._hist_step(state, np.stack(batch_buf))
 
-    def _hist_apply(self, codes, stats: SeqStats, undr, over) -> None:
         (kasm, kmissing, kover, uh, oh, max_idx,
-         overflow, fallbacks) = self._hist_step(codes)
+         overflow, fallbacks) = state
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= NBINS:
@@ -249,11 +275,12 @@ class KstarEngine:
                 f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
                 "increase merfin_tpu.modes.engine.NBINS"
             )
-        stats.kasm += int(kasm)
-        stats.kmissing += int(kmissing)
-        stats.kover_cpy += float(kover)
+        stats.kasm = int(kasm)
+        stats.kmissing = int(kmissing)
+        stats.kover_cpy = float(kover)
         undr += np.asarray(uh)
         over += np.asarray(oh)
+        return stats, undr, over
 
     def dump_sequence(self, codes: np.ndarray):
         """Yield (start, readK, asmK, kmetric, kasm, kmissing) per chunk."""

@@ -14,7 +14,8 @@ import numpy as np
 
 from merfin_tpu.config import ensure_x64
 from merfin_tpu.modes.engine import NBINS, PAD_CODE, SeqStats
-from merfin_tpu.parallel.multichip import make_hist_step, make_dump_step
+from merfin_tpu.parallel.multichip import (make_hist_step, make_dump_step,
+                                           zero_hist_state)
 from merfin_tpu.parallel.sharded import ShardedLookup
 from merfin_tpu.score.kstar import ProbTable
 from merfin_tpu.score.value_map import ValueMap
@@ -66,28 +67,31 @@ class ShardedKstarEngine:
 
     def hist_sequence(self, codes: np.ndarray):
         """Full -hist stats for one sequence's code array (mirrors
-        KstarEngine.hist_sequence)."""
+        KstarEngine.hist_sequence): device-state accumulation, one host
+        fetch per sequence so sharded steps pipeline."""
         stats = SeqStats()
         undr = np.zeros(NBINS, dtype=np.int64)
         over = np.zeros(NBINS, dtype=np.int64)
         if codes.shape[0] < self.k:
             return stats, undr, over
 
+        state = zero_hist_state()
         for batch, _ in self._batches_of(codes):
-            (kasm, kmissing, kover, uh, oh, max_idx,
-             overflow, fallbacks) = self._step(self._put(batch, self._sharding))
-            self.overflow_values += int(overflow)
-            self.bin_fallbacks += int(fallbacks)
-            if int(max_idx) >= NBINS:
-                raise RuntimeError(
-                    f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
-                    "increase merfin_tpu.modes.engine.NBINS"
-                )
-            stats.kasm += int(kasm)
-            stats.kmissing += int(kmissing)
-            stats.kover_cpy += float(kover)
-            undr += np.asarray(uh)
-            over += np.asarray(oh)
+            state = self._step(state, self._put(batch, self._sharding))
+        (kasm, kmissing, kover, uh, oh, max_idx,
+         overflow, fallbacks) = state
+        self.overflow_values += int(overflow)
+        self.bin_fallbacks += int(fallbacks)
+        if int(max_idx) >= NBINS:
+            raise RuntimeError(
+                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
+                "increase merfin_tpu.modes.engine.NBINS"
+            )
+        stats.kasm = int(kasm)
+        stats.kmissing = int(kmissing)
+        stats.kover_cpy = float(kover)
+        undr += np.asarray(uh)
+        over += np.asarray(oh)
         return stats, undr, over
 
     def dump_sequence(self, codes: np.ndarray):
