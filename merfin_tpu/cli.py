@@ -199,9 +199,13 @@ def run(cfg: MerfinConfig) -> int:
 
     multi = mh.maybe_init_from_env(log=log)
     if multi:
-        if cfg.mesh:
-            print("ERROR: -mesh with a multi-host launch is not supported yet "
-                  "(use one device mesh per host).", file=log)
+        if cfg.mesh and cfg.report_type not in ("hist", "completeness"):
+            # dump/variants have positional (addressable-shard) outputs;
+            # use the striped multi-host path for those (no -mesh), or a
+            # per-host mesh in separate runs
+            print("ERROR: -mesh spanning a multi-host launch supports -hist "
+                  "and -completeness; drop -mesh for this report type.",
+                  file=log)
             return 1
         if cfg.resume or cfg.debug:
             print("ERROR: -resume/-debug are not supported with multi-host runs.",

@@ -130,16 +130,24 @@ def _report(compl_total: np.ndarray, compl_undrc: np.ndarray, log):
 
 def _run_completeness_mesh(read_db: KmerDB, asm_db: KmerDB, vmap, mesh,
                            log=sys.stderr, block: int = 1 << 20):
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from merfin_tpu.parallel.multichip import make_completeness_step
-    from merfin_tpu.parallel.sharded import ShardedLookup
+    from merfin_tpu.parallel.sharded import (ShardedLookup, mesh_spans_hosts,
+                                             put_global)
+
+    # On a host-spanning mesh every process drives the same slices and
+    # the psums produce replicated results — only rank 0 reports.
+    pid = 0
+    if mesh_spans_hosts(mesh):
+        import jax
+
+        pid = jax.process_index()
 
     asm_sharded = ShardedLookup.build(asm_db, mesh)
     step = make_completeness_step(mesh, asm_sharded, vmap)
     D = mesh.shape["d"]
-    sh = NamedSharding(mesh, P("d", None))
+    spec = P("d", None)
 
     # one compiled shape: per-device block sized to the largest slice
     # (pow2, floor 4096) so small databases don't pay 64 full-size
@@ -165,13 +173,14 @@ def _run_completeness_mesh(read_db: KmerDB, asm_db: KmerDB, vmap, mesh,
             rk.reshape(-1)[:n] = piece_k
             rv.reshape(-1)[:n] = piece_v
             mask.reshape(-1)[:n] = True
-            t, u = step(jax.device_put(rk, sh), jax.device_put(rv, sh),
-                        jax.device_put(mask, sh))
+            t, u = step(put_global(rk, mesh, spec), put_global(rv, mesh, spec),
+                        put_global(mask, mesh, spec))
             compl_total[ii] += float(t)
             compl_undrc[ii] += float(u)
 
-        c = 1.0 - compl_undrc[ii] / compl_total[ii] if compl_total[ii] else float("nan")
-        print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
-              f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
+        if pid == 0:
+            c = 1.0 - compl_undrc[ii] / compl_total[ii] if compl_total[ii] else float("nan")
+            print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
+                  f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
 
-    return _report(compl_total, compl_undrc, log)
+    return _report(compl_total, compl_undrc, log if pid == 0 else None)

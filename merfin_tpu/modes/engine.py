@@ -20,7 +20,6 @@ import numpy as np
 
 from merfin_tpu.config import ensure_x64
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
-from merfin_tpu.ops.score_ops import k_metric_jnp
 from merfin_tpu.score.kstar import ProbTable
 
 NBINS = 1 << 14          # k* histogram bins per side (ratio up to ~3277)
@@ -215,9 +214,12 @@ class KstarEngine:
                 state[7] + fallbacks)
 
     def _dump_chunk(self, codes, r_tree, a_tree, vm):
-        """codes uint8 [C + k - 1] -> per-position readK/asmK/K* + counts.
+        """codes uint8 [C + k - 1] -> per-position readK/asmK + counts.
 
-        Mirrors processDump (merfin-dump.C:21-68).
+        Mirrors processDump (merfin-dump.C:21-68).  K* is computed on the
+        host from the fetched readK/asmK (k_metric_np): one less array
+        over the link, and %.2f output is host-f64 exact regardless of
+        the accelerator's f64 emulation.
         """
         import jax.numpy as jnp
 
@@ -225,8 +227,7 @@ class KstarEngine:
             codes, r_tree, a_tree, vm)
         kasm = jnp.sum(valid)
         kmissing = jnp.sum(valid & (read_k == 0))
-        kmetric = jnp.where(valid, k_metric_jnp(read_k, asm_k), 0.0)
-        return read_k, asm_k, kmetric, kasm, kmissing, overflow
+        return read_k, asm_k, kasm, kmissing, overflow
 
     # ---- host streaming ----
 
@@ -284,18 +285,15 @@ class KstarEngine:
 
     def dump_sequence(self, codes: np.ndarray):
         """Yield (start, readK, asmK, kmetric, kasm, kmissing) per chunk."""
+        from merfin_tpu.score.kstar import k_metric_np
+
         if codes.shape[0] < self.k:
             return
         n_pos = codes.shape[0] - self.k + 1
         for start, buf in self.chunks_of(codes):
-            rk, ak, km, kasm, kmis, overflow = self._dump_step(buf)
+            rk, ak, kasm, kmis, overflow = self._dump_step(buf)
             self.overflow_values += int(overflow)
             n = min(self.chunk, n_pos - start)
-            yield (
-                start,
-                np.asarray(rk)[:n],
-                np.asarray(ak)[:n],
-                np.asarray(km)[:n],
-                int(kasm),
-                int(kmis),
-            )
+            rk = np.asarray(rk)[:n]
+            ak = np.asarray(ak)[:n]
+            yield (start, rk, ak, k_metric_np(rk, ak), int(kasm), int(kmis))

@@ -32,10 +32,16 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     g_undr = np.zeros(NBINS, dtype=np.int64)
     g_over = np.zeros(NBINS, dtype=np.int64)
 
-    # Multi-host: every process takes its sequence stripe, accumulators
-    # merge across hosts at the end, rank 0 writes the outputs (the
-    # reference's Slurm scatter-gather without per-node DB duplication).
+    # Multi-host, two shapes:
+    #  * striped (single-device engine): every process takes its sequence
+    #    stripe, accumulators merge over collectives at the end;
+    #  * global mesh (engine.spans_hosts): the table is sharded across
+    #    hosts' HBM, every process drives the SAME sequences through one
+    #    collective program — results come out replicated, no merge.
+    # Rank 0 writes the outputs in both shapes (the reference's Slurm
+    # scatter-gather without per-node DB duplication).
     multi = mh.is_active()
+    spans = bool(getattr(engine, "spans_hosts", False))
     pid = 0
     if multi:
         pid, _ = mh.process_info()
@@ -54,7 +60,7 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     from merfin_tpu.utils.prefetch import prefetch_iter
 
     seqs = seq_file.iter_coded()
-    if multi:
+    if multi and not spans:
         seqs = mh.host_sequences(seqs)
     seq_idx = 0
     for seq in prefetch_iter(seqs):
@@ -82,7 +88,7 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
             "undr": g_undr[:nz_u].tolist(), "over": g_over[:nz_o].tolist(),
         })
 
-    if multi:
+    if multi and not spans:
         g_missing = int(mh.merge_scalar_across_hosts(g_missing))
         g_kasm = int(mh.merge_scalar_across_hosts(g_kasm))
         g_kover = mh.merge_scalar_across_hosts(g_kover)

@@ -16,7 +16,8 @@ from merfin_tpu.config import ensure_x64
 from merfin_tpu.modes.engine import NBINS, PAD_CODE, SeqStats
 from merfin_tpu.parallel.multichip import (make_hist_step, make_dump_step,
                                            zero_hist_state)
-from merfin_tpu.parallel.sharded import ShardedLookup
+from merfin_tpu.parallel.sharded import (ShardedLookup, mesh_spans_hosts,
+                                         put_global)
 from merfin_tpu.score.kstar import ProbTable
 from merfin_tpu.score.value_map import ValueMap
 
@@ -49,8 +50,15 @@ class ShardedKstarEngine:
         self._asm_lookup = asm_lookup
         self._step = make_hist_step(mesh, read_lookup, asm_lookup, k, self.value_map)
         self._dump_step = None   # built on first dump_sequence call
-        self._sharding = NamedSharding(mesh, P("d", None))
-        self._put = jax.device_put
+        self._spec = P("d", None)
+        self._sharding = NamedSharding(mesh, self._spec)
+        # True when the mesh spans processes: the table is split across
+        # hosts' HBM and every process drives the same sequences together
+        # (run_hist/run_completeness skip striping + allgather merges)
+        self.spans_hosts = mesh_spans_hosts(mesh)
+
+    def _put(self, batch, _sharding=None):
+        return put_global(batch, self.mesh, self._spec)
 
     def _batches_of(self, codes: np.ndarray):
         """Yield ([B, C + k - 1] batch, row starts) covering every window."""
@@ -103,14 +111,17 @@ class ShardedKstarEngine:
             self._dump_step = make_dump_step(
                 self.mesh, self._read_lookup, self._asm_lookup,
                 self.k, self.value_map)
+        from merfin_tpu.score.kstar import k_metric_np
+
         n_pos = codes.shape[0] - self.k + 1
         for batch, group in self._batches_of(codes):
-            rk, ak, km, kasm, kmis, overflow = self._dump_step(
+            rk, ak, kasm, kmis, overflow = self._dump_step(
                 self._put(batch, self._sharding))
             self.overflow_values += int(overflow)
-            rk, ak, km = np.asarray(rk), np.asarray(ak), np.asarray(km)
+            rk, ak = np.asarray(rk), np.asarray(ak)
             kasm, kmis = np.asarray(kasm), np.asarray(kmis)
             for row, start in enumerate(group):
                 n = min(self.chunk, n_pos - start)
-                yield (start, rk[row, :n], ak[row, :n], km[row, :n],
+                r, a = rk[row, :n], ak[row, :n]
+                yield (start, r, a, k_metric_np(r, a),
                        int(kasm[row]), int(kmis[row]))

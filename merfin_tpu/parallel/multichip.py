@@ -24,7 +24,6 @@ import numpy as np
 
 from merfin_tpu.modes.engine import NBINS
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
-from merfin_tpu.ops.score_ops import k_metric_jnp
 from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
 
 
@@ -224,7 +223,7 @@ def make_dump_step(
             P(), P(),
             P("d", None),
         ),
-        out_specs=(P("d", None), P("d", None), P("d", None),
+        out_specs=(P("d", None), P("d", None),
                    P("d"), P("d"), P()),
     )
     def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map, codes):
@@ -243,10 +242,11 @@ def make_dump_step(
 
         kasm = jnp.sum(valid, axis=1)
         kmissing = jnp.sum(valid & (read_k == 0), axis=1)
-        kmetric = jnp.where(valid, k_metric_jnp(read_k, asm_k), 0.0)
 
         overflow = jax.lax.psum(overflow, "d")
-        return read_k, asm_k, kmetric, kasm, kmissing, overflow
+        # K* is computed on the host from readK/asmK (see the
+        # single-device _dump_chunk): less traffic, host-f64 exact
+        return read_k, asm_k, kasm, kmissing, overflow
 
     rk_dev = jnp.asarray(value_map.read_k_host)
     pr_dev = jnp.asarray(value_map.prob_host)

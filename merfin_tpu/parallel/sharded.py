@@ -81,28 +81,55 @@ class ShardedLookup:
 
     @classmethod
     def build(cls, db_or_arrays, mesh, min_v: int = 0, max_v: int = 2**64 - 1):
+        """Build the sharded table over ``mesh`` (single- or multi-host).
+
+        Each shard row is materialized lazily in the device_put callback,
+        so on a multi-host mesh every host only touches the table rows
+        its local devices own (the memmapped MKDB serves the slices) —
+        no host ever holds the padded [T, M] arrays, which is the point:
+        a 150-200 GB read table splits across the slice's HBM instead of
+        duplicating per node (SURVEY §2.3).
+        """
         ensure_x64()
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if isinstance(db_or_arrays, KmerDB):
-            keys = np.asarray(db_or_arrays.keys, dtype=np.uint64)
-            vals = np.asarray(db_or_arrays.vals, dtype=np.uint32)
+            keys = db_or_arrays.keys   # memmap: slices read lazily
+            vals = db_or_arrays.vals
             k = db_or_arrays.k
         else:
             keys, vals, k = db_or_arrays
         if min_v > 0 or max_v < 2**64 - 1:
-            m = (vals >= min_v) & (vals <= max_v)
-            keys, vals = keys[m], vals[m]
+            vv_ = np.asarray(vals)
+            m = (vv_ >= min_v) & (vv_ <= max_v)
+            keys, vals = np.asarray(keys)[m], vv_[m]
 
         t = mesh.shape["t"]
-        kk, vv = partition_rows(keys, vals, t)
+        n = keys.shape[0]
+        bounds = [round(i * n / t) for i in range(t + 1)]
+        m_pad = max(1, max(bounds[i + 1] - bounds[i] for i in range(t)))
+
+        def shard_rows(src, fill, dtype):
+            def cb(index):
+                rows = range(*index[0].indices(t))
+                cols = index[1].indices(m_pad)
+                assert cols[0] == 0 and cols[1] == m_pad
+                out = np.full((len(rows), m_pad), fill, dtype=dtype)
+                for j, r in enumerate(rows):
+                    a, b = bounds[r], bounds[r + 1]
+                    out[j, : b - a] = src[a:b]
+                return out
+            return cb
+
         sh = NamedSharding(mesh, P("t", None))
         return cls(
             mesh=mesh,
-            keys=jax.device_put(kk, sh),
-            vals=jax.device_put(vv, sh),
-            n=int(keys.shape[0]),
+            keys=jax.make_array_from_callback(
+                (t, m_pad), sh, shard_rows(keys, PAD_KEY, np.uint64)),
+            vals=jax.make_array_from_callback(
+                (t, m_pad), sh, shard_rows(vals, 0, np.uint32)),
+            n=int(n),
             k=int(k),
         )
 
@@ -174,6 +201,26 @@ class ShardedLookup:
             return jax.lax.psum(out, "t")
 
         return f(self.keys, self.vals, q)
+
+
+def put_global(arr: np.ndarray, mesh, spec):
+    """Place a host array onto the mesh with ``spec`` — works on single-
+    AND multi-host meshes (each process serves its addressable shards
+    from its local copy of the array; every process must hold the same
+    values)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+
+def mesh_spans_hosts(mesh) -> bool:
+    """True when the mesh includes devices of more than one process."""
+    import jax
+
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
 
 
 def _local_probe(keys, vals, q):

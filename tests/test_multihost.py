@@ -137,3 +137,53 @@ def test_two_process_matches_single(world):
             if not l.startswith("#")]
     assert len(recs) == 3
     assert [r.split("\t")[0] for r in recs] == ["s0", "s1", "s2"]
+
+
+MESH_DRIVER = """
+import sys
+from merfin_tpu.cli import merfin_main
+
+tmp, tag = sys.argv[1], sys.argv[2]
+base = ["-sequence", f"{tmp}/asm.fasta", "-readmers", f"{tmp}/read.mkdb",
+        "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20", "-mesh", "2x4"]
+assert merfin_main(["-hist"] + base + ["-output", f"{tmp}/{tag}.hist"]) == 0
+assert merfin_main(["-completeness", "-mesh", "2x4",
+                    "-readmers", f"{tmp}/read.mkdb",
+                    "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20"]) == 0
+print("ALLDONE")
+"""
+
+
+def test_global_mesh_spans_two_processes(world):
+    """The SURVEY §2.3 centerpiece: one 2x4 mesh spanning two processes
+    (4 virtual CPU devices each) — the table shards across both hosts'
+    memory, both drive the same collective program, rank 0 reports."""
+    tmp = world
+    port = _free_port()
+    env = {
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "MERFIN_NUM_PROCESSES": "2",
+        "MERFIN_COORDINATOR": f"127.0.0.1:{port}",
+    }
+    procs = []
+    for i in range(2):
+        e = {**env, "MERFIN_PROCESS_ID": str(i)}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", MESH_DRIVER, str(tmp), f"gm{i}"],
+            env={**os.environ, "PYTHONPATH": REPO, "MERFIN_PLATFORM": "cpu",
+                 "JAX_PLATFORMS": "cpu",
+                 "MERFIN_TPU_CACHE": str(tmp / "jaxcache"), **e},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+        assert b"ALLDONE" in out
+
+    # rank 0 wrote the hist; identical to the single-process run from
+    # test_two_process_matches_single (module-scoped world)
+    assert (tmp / "gm0.hist").read_bytes() == (tmp / "one.hist").read_bytes()
+    assert not (tmp / "gm1.hist").exists()
+
+    err0, err1 = outs[0][1].decode(), outs[1][1].decode()
+    assert "COMPLETENESS" in err0 and "COMPLETENESS" not in err1
+    assert "process 0 of 2" in err0 and "process 1 of 2" in err1
