@@ -24,6 +24,7 @@ from merfin_tpu.score.kstar import ProbTable
 
 NBINS = 1 << 14          # k* histogram bins per side (ratio up to ~3277)
 PAD_CODE = 4
+SEG_MAX = 1024           # max sequences packed into one -hist dispatch
 
 
 @dataclasses.dataclass
@@ -97,7 +98,10 @@ class KstarEngine:
         # buffers): the host loop never syncs mid-sequence, so dispatches
         # pipeline instead of round-tripping per batch.
         self._hist_step_impl = jax.jit(self._hist_chunk_acc, donate_argnums=0)
+        self._hist_group_impl = jax.jit(self._hist_group_chunk)
         self._dump_step_impl = jax.jit(self._dump_chunk)
+        # packed-group capacity (positions) for fragmented assemblies
+        self.group_capacity = self.batch * self.chunk
 
     def _step_args(self):
         if self.sortjoin:
@@ -200,6 +204,98 @@ class KstarEngine:
         over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
         return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
+
+    def _hist_group_chunk(self, codes, seg, r_tree, a_tree, vm, bins):
+        """Packed-group -hist step: codes [B, C + k - 1] with SEG_MAX
+        sequences packed per dispatch (k-1 separators), seg [B, C] giving
+        each window's sequence slot (SEG_MAX = none).  Returns per-slot
+        (kasm, kmissing) plus the global hist reductions — thousands of
+        short scaffolds cost one dispatch instead of one each (the
+        sweatShop granularity problem, SURVEY §2.3 note on imbalance).
+        """
+        import jax.numpy as jnp
+
+        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
+            codes, r_tree, a_tree, vm)
+
+        missing = valid & (read_k == 0)
+        is_undr = valid & (read_k > 0) & (asm_k > read_k)
+        is_over = valid & (read_k > 0) & ~is_undr
+
+        seg_eff = jnp.where(valid, seg, SEG_MAX)
+        kasm_seg = jnp.bincount(seg_eff.reshape(-1),
+                                length=SEG_MAX + 1)[:SEG_MAX]
+        seg_mis = jnp.where(missing, seg, SEG_MAX)
+        kmis_seg = jnp.bincount(seg_mis.reshape(-1),
+                                length=SEG_MAX + 1)[:SEG_MAX]
+
+        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+
+        undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
+            read_k, asm_k, bins)
+        fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
+        max_idx = jnp.maximum(
+            jnp.max(jnp.where(is_undr, undr_idx, 0)),
+            jnp.max(jnp.where(is_over, over_idx, 0)),
+        )
+        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
+        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
+        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        return (kasm_seg, kmis_seg, kover, undr_hist, over_hist, max_idx,
+                overflow, fallbacks)
+
+    def hist_group(self, seqs):
+        """-hist for a PACKED group of small sequences (one dispatch).
+
+        seqs: list of code arrays; the caller guarantees
+        sum(len(c) + k - 1) - (k-1) window positions fit group_capacity
+        and len(seqs) <= SEG_MAX.  Returns (stats_list, undr, over,
+        kover_total) — kover/histograms are global quantities
+        (merfin-histogram.C accumulates them globally), per-sequence QV
+        needs only kasm/kmissing.
+        """
+        k, C, B = self.k, self.chunk, self.batch
+        n_seq = len(seqs)
+        assert n_seq <= SEG_MAX
+
+        # pack codes with k-1 separators; seg id per window start
+        total = sum(c.shape[0] + k - 1 for c in seqs)
+        stream = np.full(total, PAD_CODE, dtype=np.uint8)
+        n_pos = max(0, total - k + 1)
+        seg_win = np.full(n_pos, SEG_MAX, dtype=np.int32)
+        pos = 0
+        for i, c in enumerate(seqs):
+            stream[pos: pos + c.shape[0]] = c
+            nwin = c.shape[0] - k + 1
+            if nwin > 0:
+                seg_win[pos: pos + nwin] = i
+            pos += c.shape[0] + k - 1
+        assert n_pos <= self.group_capacity
+
+        codes_b = np.full((B, C + k - 1), PAD_CODE, dtype=np.uint8)
+        seg_b = np.full((B, C), SEG_MAX, dtype=np.int32)
+        for row, start in enumerate(range(0, n_pos, C)):
+            piece = stream[start: start + C + k - 1]
+            codes_b[row, : piece.shape[0]] = piece
+            sw = seg_win[start: start + C]
+            seg_b[row, : sw.shape[0]] = sw
+
+        (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
+         overflow, fallbacks) = self._hist_group_impl(
+            codes_b, seg_b, self.read_lookup.tree(), self.asm_lookup.tree(),
+            self.value_map.device_arrays(), self.bin_table.device_arrays())
+        self.overflow_values += int(overflow)
+        self.bin_fallbacks += int(fallbacks)
+        if int(max_idx) >= NBINS:
+            raise RuntimeError(
+                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
+                "increase merfin_tpu.modes.engine.NBINS")
+        kasm_seg = np.asarray(kasm_seg)
+        kmis_seg = np.asarray(kmis_seg)
+        stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
+                 for i in range(n_seq)]
+        return stats, np.asarray(uh), np.asarray(oh), float(kover)
 
     def _hist_chunk_acc(self, state, codes, r_tree, a_tree, vm, bins):
         """_hist_chunk folded into a running device state (accumulation

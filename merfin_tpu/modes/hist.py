@@ -57,36 +57,77 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
         g_over[: len(a["over"])] = a["over"]
         print(f"-- Resuming after {skip} sequences.", file=log)
 
+    from merfin_tpu.modes.engine import SEG_MAX
     from merfin_tpu.utils.prefetch import prefetch_iter
 
     seqs = seq_file.iter_coded()
     if multi and not spans:
         seqs = mh.host_sequences(seqs)
+
+    def seq_line(seq, stats):
+        nonlocal g_missing, g_kasm
+        g_missing += stats.kmissing
+        g_kasm += stats.kasm
+        qv = histo_qv(stats.kmissing, stats.kasm, k)
+        print(f"{seq.ident}\t{stats.kmissing}\t{g_missing}\t{stats.kasm}\t{qv:.2f}",
+              file=log)
+
+    def save_ckpt(idx):
+        nz_u = int(np.max(np.nonzero(g_undr)[0])) + 1 if g_undr.any() else 0
+        nz_o = int(np.max(np.nonzero(g_over)[0])) + 1 if g_over.any() else 0
+        ckpt.save(idx, 0, {
+            "missing": g_missing, "kasm": g_kasm, "kover": g_kover,
+            "undr": g_undr[:nz_u].tolist(), "over": g_over[:nz_o].tolist(),
+        })
+
+    # Fragmented assemblies: pack many small sequences into ONE device
+    # dispatch (engine.hist_group, per-sequence stats via segment
+    # reduction) instead of paying a padded dispatch per scaffold.
+    cap = getattr(engine, "group_capacity", 0) \
+        if hasattr(engine, "hist_group") else 0
+    group: list = []          # (seq_idx, seq)
+    group_pos = 0
+
+    def flush_group():
+        nonlocal group, group_pos, g_kover, g_undr, g_over
+        if not group:
+            return
+        for _, s in group:
+            print(f"Processing sequence {s.ident} for histogram", file=log)
+        stats_list, uh, oh, kover_g = engine.hist_group(
+            [s.codes() for _, s in group])
+        g_undr += uh
+        g_over += oh
+        g_kover += kover_g
+        for (_, s), st in zip(group, stats_list):
+            print(f"Output sequence {s.ident}", file=log)
+            seq_line(s, st)
+        save_ckpt(group[-1][0])
+        group = []
+        group_pos = 0
+
     seq_idx = 0
     for seq in prefetch_iter(seqs):
         seq_idx += 1
         if seq_idx <= skip:
             continue
+        need = seq.length + k - 1
+        if cap and need <= cap:
+            if group_pos + need > cap or len(group) >= SEG_MAX:
+                flush_group()
+            group.append((seq_idx, seq))
+            group_pos += need
+            continue
+        flush_group()
         print(f"Processing sequence {seq.ident} for histogram", file=log)
         stats, undr, over = engine.hist_sequence(seq.codes())
         print(f"Output sequence {seq.ident}", file=log)
-
-        g_missing += stats.kmissing
-        g_kasm += stats.kasm
         g_kover += stats.kover_cpy
         g_undr += undr
         g_over += over
-
-        qv = histo_qv(stats.kmissing, stats.kasm, k)
-        print(f"{seq.ident}\t{stats.kmissing}\t{g_missing}\t{stats.kasm}\t{qv:.2f}",
-              file=log)
-
-        nz_u = int(np.max(np.nonzero(g_undr)[0])) + 1 if g_undr.any() else 0
-        nz_o = int(np.max(np.nonzero(g_over)[0])) + 1 if g_over.any() else 0
-        ckpt.save(seq_idx, 0, {
-            "missing": g_missing, "kasm": g_kasm, "kover": g_kover,
-            "undr": g_undr[:nz_u].tolist(), "over": g_over[:nz_o].tolist(),
-        })
+        seq_line(seq, stats)
+        save_ckpt(seq_idx)
+    flush_group()
 
     if multi and not spans:
         g_missing = int(mh.merge_scalar_across_hosts(g_missing))

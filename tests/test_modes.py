@@ -143,3 +143,47 @@ def test_completeness_matches_oracle(setup, use_prob):
     assert math.isclose(res["total"], total, rel_tol=1e-12)
     assert math.isclose(res["undrc"], undrc, rel_tol=1e-12, abs_tol=1e-12)
     assert math.isclose(res["completeness"], compl, rel_tol=1e-12)
+
+
+def test_hist_grouped_packing_matches_per_seq(setup, tmp_path):
+    """Fragmented-assembly packing: many small sequences in one dispatch
+    (engine.hist_group) must reproduce the per-sequence path exactly —
+    hist file, per-seq stderr lines, and result dict."""
+    import random as _random
+
+    rng = _random.Random(7)
+    seqs = [random_dna(rng, rng.randint(30, 200), with_n=0.02)
+            for _ in range(40)]
+    read_db = db_from_dict(refmodel.count_canonical(
+        seqs + seqs[:10], K), K, str(tmp_path / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical(seqs, K), K,
+                          str(tmp_path / "a"))
+    fasta = tmp_path / "frag.fasta"
+    with open(fasta, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">frag{i}\n{s}\n")
+
+    rl, al = build_lookup(read_db), build_lookup(asm_db)
+
+    # grouped: capacity fits many sequences per dispatch
+    eng_g = KstarEngine(rl, al, K, PEAK, chunk=1024, batch=2)
+    log_g = io.StringIO()
+    res_g = run_hist(eng_g, SeqFile(str(fasta)), str(tmp_path / "g.hist"),
+                     log=log_g)
+
+    # per-sequence: grouping disabled
+    eng_s = KstarEngine(rl, al, K, PEAK, chunk=1024, batch=2)
+    eng_s.group_capacity = 0
+    log_s = io.StringIO()
+    res_s = run_hist(eng_s, SeqFile(str(fasta)), str(tmp_path / "s.hist"),
+                     log=log_s)
+
+    assert res_g == res_s
+    assert (tmp_path / "g.hist").read_text() == (tmp_path / "s.hist").read_text()
+    # per-seq QV lines identical (cumulative columns included)
+    lines_g = [l for l in log_g.getvalue().splitlines() if l.startswith("frag")]
+    lines_s = [l for l in log_s.getvalue().splitlines() if l.startswith("frag")]
+    assert lines_g == lines_s and len(lines_g) == 40
+    # and the grouped engine really grouped (a sequence > capacity would
+    # fall back silently otherwise)
+    assert all(len(s) + K - 1 <= eng_g.group_capacity for s in seqs)
