@@ -272,6 +272,13 @@ def run(cfg: MerfinConfig) -> int:
             print(f"ERROR: -mesh {d}x{t} needs {d * t} devices; "
                   f"{len(devs)} available.", file=log)
             return 1
+        if multi and d * t != len(devs):
+            # a partial mesh under a multi-host launch would leave some
+            # processes driving only other hosts' devices
+            print(f"ERROR: -mesh {d}x{t} must use all {len(devs)} devices "
+                  f"of the multi-host slice (e.g. -mesh "
+                  f"{len(devs) // max(t, 1)}x{t}).", file=log)
+            return 1
         mesh = Mesh(np.asarray(devs[: d * t]).reshape(d, t), ("d", "t"))
         t_shards = t
         print(f"-- Sharding tables over a {d}x{t} device mesh.", file=log)

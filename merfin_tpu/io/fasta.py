@@ -81,9 +81,15 @@ class PyStreamParser:
     Piece boundaries may differ from the native parser (it cuts at window
     edges mid-line; this one carries partial lines) but concatenated
     record codes and names are identical.
+
+    ``raw=True`` keeps original sequence bytes (uint8 char codes, case
+    preserved) instead of 2-bit codes — the variants path needs exact
+    region copies; one state machine serves both (no third parser).
     """
 
-    def __init__(self):
+    def __init__(self, raw: bool = False):
+        self._encode = (lambda s: np.frombuffer(s, dtype=np.uint8)) if raw \
+            else encode_bases
         self._carry = b""
         self._fastq: bool | None = None
         self._phase = "start"          # start | seq | qual
@@ -160,7 +166,7 @@ class PyStreamParser:
                 else:
                     seq = line.replace(b" ", b"").replace(b"\t", b"")
                     if seq:
-                        parts.append(encode_bases(seq))
+                        parts.append(self._encode(seq))
                         cur_len += len(seq)
                         self._seq_len += len(seq)
             else:  # qual
@@ -280,77 +286,29 @@ def _cat(parts: list[np.ndarray]) -> np.ndarray:
 
 
 def _iter_bytes(path: str, window: int = DEFAULT_WINDOW) -> Iterator[Sequence]:
-    """Line-based streaming parser keeping raw bytes (for region copy)."""
+    """Streaming whole-record reader keeping raw bytes (for region copy)
+    — drives PyStreamParser in raw mode (ONE state machine, no third
+    parser to keep in sync)."""
+    parser = PyStreamParser(raw=True)
+    cur_name: str | None = None
+    parts: list[np.ndarray] = []
     with open_read(path) as f:
-        carry = b""
-        fastq: bool | None = None
-        phase = "start"
-        name: str | None = None
-        parts: list[bytes] = []
-        seq_len = 0
-        qual_seen = 0
-
-        def record() -> Sequence:
-            return Sequence(name or "", b"".join(parts))
-
         while True:
             block = f.read(window)
-            final = not block
-            data = carry + block
-            if final:
-                carry = b""
-                lines = data.split(b"\n")
-                if lines and lines[-1] == b"":
-                    lines.pop()
-            else:
-                cut = data.rfind(b"\n")
-                if cut < 0:
-                    carry = data
-                    continue
-                carry = data[cut + 1:]
-                lines = data[:cut].split(b"\n")
-
-            for line in lines:
-                line = line.rstrip(b"\r")
-                if phase == "start":
-                    if not line.strip():
-                        continue
-                    if fastq is None:
-                        if line[:1] == b">":
-                            fastq = False
-                        elif line[:1] == b"@":
-                            fastq = True
-                        else:
-                            raise ValueError(f"{path}: not FASTA or FASTQ")
-                    if line[:1] != (b"@" if fastq else b">"):
-                        raise ValueError(f"{path}: not FASTA or FASTQ")
-                    word = line[1:].split()
-                    name = word[0].decode("ascii", "replace") if word else ""
-                    parts, seq_len, qual_seen = [], 0, 0
-                    phase = "seq"
-                elif phase == "seq":
-                    if not fastq and line[:1] == b">":
-                        yield record()
-                        word = line[1:].split()
-                        name = word[0].decode("ascii", "replace") if word else ""
-                        parts, seq_len = [], 0
-                    elif fastq and line[:1] == b"+":
-                        if qual_seen >= seq_len:
-                            yield record()
-                            phase = "start"
-                        else:
-                            phase = "qual"
-                    else:
-                        seq = line.replace(b" ", b"").replace(b"\t", b"")
-                        if seq:
-                            parts.append(seq)
-                            seq_len += len(seq)
-                else:  # qual
-                    qual_seen += len(line)
-                    if qual_seen >= seq_len:
-                        yield record()
-                        phase = "start"
-            if final:
-                if phase != "start" and name is not None:
-                    yield record()
+            try:
+                names, raw, offsets, flags = parser.feed(block, is_final=not block)
+            except ValueError:
+                raise ValueError(f"{path}: not FASTA or FASTQ")
+            ni = 0
+            for i in range(len(flags)):
+                if flags[i]:
+                    if cur_name is not None:
+                        yield Sequence(cur_name, _cat(parts).tobytes())
+                    cur_name = names[ni]
+                    ni += 1
+                    parts = []
+                parts.append(raw[offsets[i]: offsets[i + 1]])
+            if not block:
+                if cur_name is not None:
+                    yield Sequence(cur_name, _cat(parts).tobytes())
                 return

@@ -73,7 +73,9 @@ def import_text(
         nonlocal acc
         assert k is not None
         if acc is None:
-            budget = int(memory_gb * 1024**3) if memory_gb else None
+            # same semantics as count_files: None = unbounded, a number
+            # (including 0) = spill budget in GB
+            budget = int(memory_gb * 1024**3) if memory_gb is not None else None
             acc = _Accumulator(k=k, budget_bytes=budget)
         mat = np.frombuffer(b"".join(mer_rows), dtype=np.uint8)
         karr = encode_kmers_batch(mat.reshape(len(mer_rows), k), k)
@@ -82,9 +84,11 @@ def import_text(
             karr = np.minimum(karr, revcomp_np(karr, k))
         order = np.argsort(karr, kind="stable")
         karr, varr = karr[order], varr[order]
-        uniq, start = np.unique(karr, return_index=True)
-        sums = np.add.reduceat(varr, start)
-        acc.add(uniq, sums)
+        boundary = np.empty(karr.size, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = karr[1:] != karr[:-1]
+        start = np.flatnonzero(boundary)
+        acc.add(karr[start], np.add.reduceat(varr, start))
 
     mer_rows: list[bytes] = []
     counts: list[int] = []

@@ -34,6 +34,29 @@ class SeqStats:
     kover_cpy: float = 0.0
 
 
+def zero_hist_state():
+    """Initial device state for hist accumulation (single-device and
+    sharded engines share this layout — keep the fold in sync via
+    fold_hist_state)."""
+    import jax.numpy as jnp
+
+    return (jnp.int64(0), jnp.int64(0), jnp.float64(0.0),
+            jnp.zeros(NBINS, jnp.int64), jnp.zeros(NBINS, jnp.int64),
+            jnp.int64(0), jnp.int64(0), jnp.int64(0))
+
+
+def fold_hist_state(state, out):
+    """Fold one hist-chunk output tuple into the running state."""
+    import jax.numpy as jnp
+
+    (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
+     overflow, fallbacks) = out
+    return (state[0] + kasm, state[1] + kmissing, state[2] + kover,
+            state[3] + undr_hist, state[4] + over_hist,
+            jnp.maximum(state[5], max_idx), state[6] + overflow,
+            state[7] + fallbacks)
+
+
 class KstarEngine:
     def __init__(
         self,
@@ -115,11 +138,7 @@ class KstarEngine:
                                     self.bin_table.device_arrays())
 
     def _zero_hist_state(self):
-        import jax.numpy as jnp
-
-        return (jnp.int64(0), jnp.int64(0), jnp.float64(0.0),
-                jnp.zeros(NBINS, jnp.int64), jnp.zeros(NBINS, jnp.int64),
-                jnp.int64(0), jnp.int64(0), jnp.int64(0))
+        return zero_hist_state()
 
     def _dump_step(self, codes):
         # dump always uses the gather tables (it needs positional output)
@@ -300,14 +319,8 @@ class KstarEngine:
     def _hist_chunk_acc(self, state, codes, r_tree, a_tree, vm, bins):
         """_hist_chunk folded into a running device state (accumulation
         order matches the old per-batch host adds: batch order)."""
-        import jax.numpy as jnp
-
-        (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
-         overflow, fallbacks) = self._hist_chunk(codes, r_tree, a_tree, vm, bins)
-        return (state[0] + kasm, state[1] + kmissing, state[2] + kover,
-                state[3] + undr_hist, state[4] + over_hist,
-                jnp.maximum(state[5], max_idx), state[6] + overflow,
-                state[7] + fallbacks)
+        return fold_hist_state(
+            state, self._hist_chunk(codes, r_tree, a_tree, vm, bins))
 
     def _dump_chunk(self, codes, r_tree, a_tree, vm):
         """codes uint8 [C + k - 1] -> per-position readK/asmK + counts.

@@ -193,10 +193,15 @@ def run_variants(
     sweatShop worker count analog (merfin.C:400-413); table lookups stay
     batched on the device in the parent.  Output order is deterministic
     regardless of thread count (ordered map)."""
+    import os as _os
+
     from merfin_tpu.utils.checkpoint import Checkpoint, truncate_to
 
     assert mode in ("filter", "polish", "better", "strict", "loose")
     filter_mode = mode == "filter"
+
+    if not threads:   # 0 = auto, like getMaxThreadsAllowed (merfin.C:108)
+        threads = _os.cpu_count() or 1
 
     pool = None
 

@@ -22,7 +22,7 @@ from functools import partial
 
 import numpy as np
 
-from merfin_tpu.modes.engine import NBINS
+from merfin_tpu.modes.engine import NBINS, fold_hist_state, zero_hist_state  # noqa: F401  (zero_hist_state re-exported for step callers)
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
 from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
 
@@ -122,28 +122,14 @@ def make_hist_step(
     def run(state, codes):
         # fold into a device-resident state (donated): the host loop
         # never syncs mid-sequence, so data-parallel steps pipeline
-        (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
-         overflow, fallbacks) = step(
+        return fold_hist_state(state, step(
             read_lookup.keys, read_lookup.vals,
             asm_lookup.keys, asm_lookup.vals,
             rk_dev, pr_dev, undr_dev, over_dev,
             codes,
-        )
-        return (state[0] + kasm, state[1] + kmissing, state[2] + kover,
-                state[3] + undr_hist, state[4] + over_hist,
-                jnp.maximum(state[5], max_idx), state[6] + overflow,
-                state[7] + fallbacks)
+        ))
 
     return jax.jit(run, donate_argnums=0)
-
-
-def zero_hist_state():
-    """Initial device state for a make_hist_step accumulation run."""
-    import jax.numpy as jnp
-
-    return (jnp.int64(0), jnp.int64(0), jnp.float64(0.0),
-            jnp.zeros(NBINS, jnp.int64), jnp.zeros(NBINS, jnp.int64),
-            jnp.int64(0), jnp.int64(0), jnp.int64(0))
 
 
 def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):

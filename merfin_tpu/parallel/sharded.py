@@ -100,15 +100,27 @@ class ShardedLookup:
             k = db_or_arrays.k
         else:
             keys, vals, k = db_or_arrays
-        if min_v > 0 or max_v < 2**64 - 1:
-            vv_ = np.asarray(vals)
-            m = (vv_ >= min_v) & (vv_ <= max_v)
-            keys, vals = np.asarray(keys)[m], vv_[m]
+
+        # -min/-max (read DB only, merfin-globals.C:136): applied PER
+        # SHARD ROW inside the callback — shards stay range-partitioned
+        # by the raw row bounds (uneven filtered sizes are fine, every
+        # probe psums across all shards), so no host ever materializes
+        # the filtered table.  Only the value stream is scanned once,
+        # in bounded chunks, for the filtered row count.
+        filt = min_v > 0 or max_v < 2**64 - 1
 
         t = mesh.shape["t"]
-        n = keys.shape[0]
-        bounds = [round(i * n / t) for i in range(t + 1)]
+        n_raw = keys.shape[0]
+        bounds = [round(i * n_raw / t) for i in range(t + 1)]
         m_pad = max(1, max(bounds[i + 1] - bounds[i] for i in range(t)))
+
+        if filt:
+            n = 0
+            for lo in range(0, n_raw, 1 << 24):
+                vv = np.asarray(vals[lo: lo + (1 << 24)])
+                n += int(np.count_nonzero((vv >= min_v) & (vv <= max_v)))
+        else:
+            n = n_raw
 
         def shard_rows(src, fill, dtype):
             def cb(index):
@@ -118,7 +130,11 @@ class ShardedLookup:
                 out = np.full((len(rows), m_pad), fill, dtype=dtype)
                 for j, r in enumerate(rows):
                     a, b = bounds[r], bounds[r + 1]
-                    out[j, : b - a] = src[a:b]
+                    row = np.asarray(src[a:b])
+                    if filt:
+                        vv = np.asarray(vals[a:b])
+                        row = row[(vv >= min_v) & (vv <= max_v)]
+                    out[j, : row.shape[0]] = row
                 return out
             return cb
 

@@ -12,9 +12,10 @@ Usage: cartesian_plot.py <paired.tsv[.gz]> [out_prefix]
 Writes <out_prefix>.png (default: correlation_Kstar.png).
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from merfin_tpu.io.compressed import open_read_text  # noqa: E402
 

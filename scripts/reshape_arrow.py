@@ -14,9 +14,10 @@ bcftools dependency:
 Usage: reshape_arrow.py <in.vcf[.gz]> [out.vcf]
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from merfin_tpu.io.compressed import open_read_text, open_write_text  # noqa: E402
 

@@ -10,10 +10,11 @@ the input for a cartesian K* correlation plot.
 Usage: simplify_dump.py <dump1.tsv[.gz]> <dump2.tsv[.gz]>
 """
 
+import os
 import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from merfin_tpu.io.compressed import open_read_text  # noqa: E402
 
