@@ -66,6 +66,63 @@ def run_dump(
 
     is_gz = out_name is not None and out_name.endswith(".gz")
     seq_idx = 0
+
+    def format_block(ident, start, rk, ak, km) -> bytes:
+        block = native.format_dump_rows(ident, start, rk, ak, km)
+        if block is None:           # pure-Python fallback
+            parts = []
+            for off in range(rk.shape[0]):
+                r, a, m = rk[off], ak[off], km[off]
+                if r != 0.0 or a != 0.0 or m != 0.0:
+                    parts.append(
+                        f"{ident}\t{start + off}\t{r:.2f}\t{a:.2f}\t{m:.2f}\n")
+            block = "".join(parts).encode("ascii")
+        return block
+
+    def write_seq(idx, blocks: list[bytes]) -> int:
+        """Emit one sequence's rows; returns the output offset."""
+        nonlocal out
+        if skip_missing:
+            return 0
+        data = b"".join(blocks)
+        if is_gz:
+            data = gzip.compress(data, compresslevel=1)
+        if part is not None:
+            part.write_seq(idx, data)
+            return 0
+        if out is None:
+            out = open(out_name, "ab" if (resume and skip) else "wb")
+        out.write(data)
+        out.flush()
+        return out.tell()
+
+    # Fragmented assemblies: pack many small sequences into one dispatch
+    # (engine.dump_group), mirroring run_hist's grouping.
+    from merfin_tpu.modes.engine import SEG_MAX
+
+    cap = getattr(engine, "group_capacity", 0) \
+        if hasattr(engine, "dump_group") else 0
+    group: list = []          # (seq_idx, seq)
+    group_pos = 0
+
+    def flush_group():
+        nonlocal group, group_pos, g_kasm, g_missing
+        if not group:
+            return
+        for _, s in group:
+            print(f"Processing sequence {s.ident} for dumping", file=log)
+        results = engine.dump_group([s.codes() for _, s in group])
+        offset = 0
+        for (idx, s), (rk, ak, km, kasm, kmis) in zip(group, results):
+            print(f"Output sequence {s.ident}", file=log)
+            offset = write_seq(idx, [format_block(s.ident, 0, rk, ak, km)])
+            g_kasm += kasm
+            g_missing += kmis
+            print(f"{s.ident}\t{kmis}\t{g_missing}\t{g_kasm}", file=log)
+        ckpt.save(group[-1][0], offset, {"missing": g_missing, "kasm": g_kasm})
+        group = []
+        group_pos = 0
+
     try:
         from merfin_tpu.utils.prefetch import prefetch_iter
 
@@ -75,6 +132,14 @@ def run_dump(
                 continue
             if multi and (seq_idx - 1) % pcount != pid:
                 continue
+            need = seq.length + engine.k - 1
+            if cap and need <= cap:
+                if group_pos + need > cap or len(group) >= SEG_MAX:
+                    flush_group()
+                group.append((seq_idx, seq))
+                group_pos += need
+                continue
+            flush_group()
             print(f"Processing sequence {seq.ident} for dumping", file=log)
             seq_missing = 0
             blocks: list[bytes] = []
@@ -83,34 +148,13 @@ def run_dump(
                 seq_missing += kmis
                 if skip_missing:
                     continue
-                block = native.format_dump_rows(seq.ident, start, rk, ak, km)
-                if block is None:           # pure-Python fallback
-                    parts = []
-                    for off in range(rk.shape[0]):
-                        r, a, m = rk[off], ak[off], km[off]
-                        if r != 0.0 or a != 0.0 or m != 0.0:
-                            parts.append(
-                                f"{seq.ident}\t{start + off}\t{r:.2f}\t{a:.2f}\t{m:.2f}\n")
-                    block = "".join(parts).encode("ascii")
-                blocks.append(block)
+                blocks.append(format_block(seq.ident, start, rk, ak, km))
             print(f"Output sequence {seq.ident}", file=log)
-            offset = 0
-            if not skip_missing:
-                data = b"".join(blocks)
-                if is_gz:
-                    data = gzip.compress(data, compresslevel=1)
-                if part is not None:
-                    part.write_seq(seq_idx, data)
-                else:
-                    if out is None:
-                        mode = "ab" if (resume and skip) else "wb"
-                        out = open(out_name, mode)
-                    out.write(data)
-                    out.flush()
-                    offset = out.tell()
+            offset = write_seq(seq_idx, blocks)
             g_missing += seq_missing
             print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}", file=log)
             ckpt.save(seq_idx, offset, {"missing": g_missing, "kasm": g_kasm})
+        flush_group()
     finally:
         if out is not None:
             out.close()

@@ -123,6 +123,7 @@ class KstarEngine:
         self._hist_step_impl = jax.jit(self._hist_chunk_acc, donate_argnums=0)
         self._hist_group_impl = jax.jit(self._hist_group_chunk)
         self._dump_step_impl = jax.jit(self._dump_chunk)
+        self._dump_group_impl = jax.jit(self._dump_group_chunk)
         # packed-group capacity (positions) for fragmented assemblies
         self.group_capacity = self.batch * self.chunk
 
@@ -315,6 +316,76 @@ class KstarEngine:
         stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
                  for i in range(n_seq)]
         return stats, np.asarray(uh), np.asarray(oh), float(kover)
+
+    def _dump_group_chunk(self, codes, seg, r_tree, a_tree, vm):
+        """Packed-group -dump step: positional readK/asmK for a batch of
+        packed small sequences plus per-slot (kasm, kmissing) via the
+        same segment reduction as _hist_group_chunk."""
+        import jax.numpy as jnp
+
+        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
+            codes, r_tree, a_tree, vm)
+        seg_eff = jnp.where(valid, seg, SEG_MAX)
+        kasm_seg = jnp.bincount(seg_eff.reshape(-1),
+                                length=SEG_MAX + 1)[:SEG_MAX]
+        seg_mis = jnp.where(valid & (read_k == 0), seg, SEG_MAX)
+        kmis_seg = jnp.bincount(seg_mis.reshape(-1),
+                                length=SEG_MAX + 1)[:SEG_MAX]
+        return read_k, asm_k, kasm_seg, kmis_seg, overflow
+
+    def dump_group(self, seqs):
+        """-dump for a PACKED group of small sequences (one dispatch).
+
+        Returns (per-seq list of (readK, asmK, kmetric, kasm, kmissing)).
+        Same packing/capacity contract as hist_group.
+        """
+        from merfin_tpu.score.kstar import k_metric_np
+
+        k, C, B = self.k, self.chunk, self.batch
+        n_seq = len(seqs)
+        assert n_seq <= SEG_MAX
+
+        total = sum(c.shape[0] + k - 1 for c in seqs)
+        stream = np.full(total, PAD_CODE, dtype=np.uint8)
+        n_pos = max(0, total - k + 1)
+        seg_win = np.full(n_pos, SEG_MAX, dtype=np.int32)
+        starts = []
+        pos = 0
+        for i, c in enumerate(seqs):
+            stream[pos: pos + c.shape[0]] = c
+            starts.append(pos)
+            nwin = c.shape[0] - k + 1
+            if nwin > 0:
+                seg_win[pos: pos + nwin] = i
+            pos += c.shape[0] + k - 1
+        assert n_pos <= self.group_capacity
+
+        codes_b = np.full((B, C + k - 1), PAD_CODE, dtype=np.uint8)
+        seg_b = np.full((B, C), SEG_MAX, dtype=np.int32)
+        for row, start in enumerate(range(0, n_pos, C)):
+            piece = stream[start: start + C + k - 1]
+            codes_b[row, : piece.shape[0]] = piece
+            sw = seg_win[start: start + C]
+            seg_b[row, : sw.shape[0]] = sw
+
+        rk, ak, kasm_seg, kmis_seg, overflow = self._dump_group_impl(
+            codes_b, seg_b, self.read_lookup.tree(), self.asm_lookup.tree(),
+            self.value_map.device_arrays())
+        self.overflow_values += int(overflow)
+        rk = np.asarray(rk).reshape(-1)   # window at stream pos p -> p
+        ak = np.asarray(ak).reshape(-1)
+        kasm_seg = np.asarray(kasm_seg)
+        kmis_seg = np.asarray(kmis_seg)
+
+        out = []
+        for i, c in enumerate(seqs):
+            nwin = max(0, c.shape[0] - k + 1)
+            # row-major [B, C] flattening maps stream window p to index p
+            r = rk[starts[i]: starts[i] + nwin]
+            a = ak[starts[i]: starts[i] + nwin]
+            out.append((r, a, k_metric_np(r, a),
+                        int(kasm_seg[i]), int(kmis_seg[i])))
+        return out
 
     def _hist_chunk_acc(self, state, codes, r_tree, a_tree, vm, bins):
         """_hist_chunk folded into a running device state (accumulation

@@ -187,3 +187,42 @@ def test_hist_grouped_packing_matches_per_seq(setup, tmp_path):
     # and the grouped engine really grouped (a sequence > capacity would
     # fall back silently otherwise)
     assert all(len(s) + K - 1 <= eng_g.group_capacity for s in seqs)
+
+
+def test_dump_grouped_packing_matches_per_seq(setup, tmp_path):
+    """Grouped -dump (one dispatch for many small sequences) must emit a
+    byte-identical file and identical stderr lines vs the per-seq path."""
+    import random as _random
+
+    rng = _random.Random(17)
+    seqs = [random_dna(rng, rng.randint(20, 180), with_n=0.03)
+            for _ in range(30)]
+    read_db = db_from_dict(refmodel.count_canonical(
+        seqs + seqs[:7], K), K, str(tmp_path / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical(seqs, K), K,
+                          str(tmp_path / "a"))
+    fasta = tmp_path / "frag.fasta"
+    with open(fasta, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">d{i}\n{s}\n")
+
+    rl, al = build_lookup(read_db), build_lookup(asm_db)
+
+    eng_g = KstarEngine(rl, al, K, PEAK, chunk=1024, batch=2)
+    log_g = io.StringIO()
+    res_g = run_dump(eng_g, SeqFile(str(fasta)), str(tmp_path / "g.dump"),
+                     log=log_g)
+
+    eng_s = KstarEngine(rl, al, K, PEAK, chunk=1024, batch=2)
+    eng_s.group_capacity = 0
+    log_s = io.StringIO()
+    res_s = run_dump(eng_s, SeqFile(str(fasta)), str(tmp_path / "s.dump"),
+                     log=log_s)
+
+    assert res_g == res_s
+    assert (tmp_path / "g.dump").read_bytes() == (tmp_path / "s.dump").read_bytes()
+    lines_g = [l for l in log_g.getvalue().splitlines() if l.startswith("d")
+               and "\t" in l]
+    lines_s = [l for l in log_s.getvalue().splitlines() if l.startswith("d")
+               and "\t" in l]
+    assert lines_g == lines_s and len(lines_g) == 30
