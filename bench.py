@@ -69,6 +69,26 @@ def _bench_hist(keys, read_vals, asm_vals, k):
     return n_bases / (time.perf_counter() - t0)
 
 
+def _bench_count(k=21, n_bases=1 << 23):
+    """Device k-mer counting rate (the meryl-count replacement): packed
+    stream -> device sort -> host run-length reduce."""
+    from merfin_tpu.count.counter import _Accumulator, _count_into
+    from merfin_tpu.io.fasta import CodedSequence
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=n_bases).astype(np.uint8)
+    seqs = [CodedSequence("b", codes)]
+    acc = _Accumulator()
+    _count_into(acc, iter(seqs), k, chunk=1 << 22)   # warm + compile
+    acc = _Accumulator()
+    t0 = time.perf_counter()
+    _count_into(acc, iter([CodedSequence("b", codes)]), k, chunk=1 << 22)
+    keys, vals, total = acc.result()
+    dt = time.perf_counter() - t0
+    assert total == n_bases - k + 1
+    return n_bases / dt
+
+
 def _bench_variants(k=21, n_clusters=1500, spacing=120):
     """End-to-end variant evaluation: clusters/s through run_variants
     (enumeration + batched device lookups + selection, -polish policy)."""
@@ -175,6 +195,10 @@ def main() -> None:
         extra["hist_bases_per_sec"] = round(
             _bench_hist(keys, vals, asm_vals, k))
         extra["variant_clusters_per_sec"] = round(_bench_variants(), 1)
+    if os.environ.get("BENCH_FULL") == "1":
+        # extra compile (~minutes on a remote-compile link); opt-in so
+        # the standard bench stays inside tight time budgets
+        extra["count_bases_per_sec"] = round(_bench_count())
 
     best = max(rates["v1"], rates["v4"])
     print(json.dumps({

@@ -275,9 +275,10 @@ def run(cfg: MerfinConfig) -> int:
         if multi and d * t != len(devs):
             # a partial mesh under a multi-host launch would leave some
             # processes driving only other hosts' devices
+            hint = (f"{len(devs) // t}x{t}" if len(devs) % t == 0
+                    else f"1x{len(devs)}")
             print(f"ERROR: -mesh {d}x{t} must use all {len(devs)} devices "
-                  f"of the multi-host slice (e.g. -mesh "
-                  f"{len(devs) // max(t, 1)}x{t}).", file=log)
+                  f"of the multi-host slice (e.g. -mesh {hint}).", file=log)
             return 1
         mesh = Mesh(np.asarray(devs[: d * t]).reshape(d, t), ("d", "t"))
         t_shards = t

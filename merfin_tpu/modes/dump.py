@@ -109,11 +109,11 @@ def run_dump(
         nonlocal group, group_pos, g_kasm, g_missing
         if not group:
             return
-        for _, s in group:
-            print(f"Processing sequence {s.ident} for dumping", file=log)
         results = engine.dump_group([s.codes() for _, s in group])
         offset = 0
         for (idx, s), (rk, ak, km, kasm, kmis) in zip(group, results):
+            # per-sequence Processing/Output interleaving (merfin-dump.C)
+            print(f"Processing sequence {s.ident} for dumping", file=log)
             print(f"Output sequence {s.ident}", file=log)
             offset = write_seq(idx, [format_block(s.ident, 0, rk, ak, km)])
             g_kasm += kasm

@@ -265,28 +265,27 @@ class KstarEngine:
         return (kasm_seg, kmis_seg, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 
-    def hist_group(self, seqs):
-        """-hist for a PACKED group of small sequences (one dispatch).
+    def _pack_group(self, seqs):
+        """Pack small sequences into batch rows with a segment-id plane.
 
-        seqs: list of code arrays; the caller guarantees
-        sum(len(c) + k - 1) - (k-1) window positions fit group_capacity
-        and len(seqs) <= SEG_MAX.  Returns (stats_list, undr, over,
-        kover_total) — kover/histograms are global quantities
-        (merfin-histogram.C accumulates them globally), per-sequence QV
-        needs only kasm/kmissing.
+        Shared by hist_group and dump_group: codes with k-1 separators,
+        seg id per window start (SEG_MAX = none), chunked into
+        [B, C + k - 1] rows.  Returns (codes_b, seg_b, starts) where
+        starts[i] is sequence i's stream offset (== the row-major [B, C]
+        flat index of its first window).
         """
         k, C, B = self.k, self.chunk, self.batch
-        n_seq = len(seqs)
-        assert n_seq <= SEG_MAX
+        assert len(seqs) <= SEG_MAX
 
-        # pack codes with k-1 separators; seg id per window start
         total = sum(c.shape[0] + k - 1 for c in seqs)
         stream = np.full(total, PAD_CODE, dtype=np.uint8)
         n_pos = max(0, total - k + 1)
         seg_win = np.full(n_pos, SEG_MAX, dtype=np.int32)
+        starts = []
         pos = 0
         for i, c in enumerate(seqs):
             stream[pos: pos + c.shape[0]] = c
+            starts.append(pos)
             nwin = c.shape[0] - k + 1
             if nwin > 0:
                 seg_win[pos: pos + nwin] = i
@@ -300,6 +299,20 @@ class KstarEngine:
             codes_b[row, : piece.shape[0]] = piece
             sw = seg_win[start: start + C]
             seg_b[row, : sw.shape[0]] = sw
+        return codes_b, seg_b, starts
+
+    def hist_group(self, seqs):
+        """-hist for a PACKED group of small sequences (one dispatch).
+
+        seqs: list of code arrays; the caller guarantees
+        sum(len(c) + k - 1) - (k-1) window positions fit group_capacity
+        and len(seqs) <= SEG_MAX.  Returns (stats_list, undr, over,
+        kover_total) — kover/histograms are global quantities
+        (merfin-histogram.C accumulates them globally), per-sequence QV
+        needs only kasm/kmissing.
+        """
+        n_seq = len(seqs)
+        codes_b, seg_b, _ = self._pack_group(seqs)
 
         (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
          overflow, fallbacks) = self._hist_group_impl(
@@ -341,32 +354,8 @@ class KstarEngine:
         """
         from merfin_tpu.score.kstar import k_metric_np
 
-        k, C, B = self.k, self.chunk, self.batch
-        n_seq = len(seqs)
-        assert n_seq <= SEG_MAX
-
-        total = sum(c.shape[0] + k - 1 for c in seqs)
-        stream = np.full(total, PAD_CODE, dtype=np.uint8)
-        n_pos = max(0, total - k + 1)
-        seg_win = np.full(n_pos, SEG_MAX, dtype=np.int32)
-        starts = []
-        pos = 0
-        for i, c in enumerate(seqs):
-            stream[pos: pos + c.shape[0]] = c
-            starts.append(pos)
-            nwin = c.shape[0] - k + 1
-            if nwin > 0:
-                seg_win[pos: pos + nwin] = i
-            pos += c.shape[0] + k - 1
-        assert n_pos <= self.group_capacity
-
-        codes_b = np.full((B, C + k - 1), PAD_CODE, dtype=np.uint8)
-        seg_b = np.full((B, C), SEG_MAX, dtype=np.int32)
-        for row, start in enumerate(range(0, n_pos, C)):
-            piece = stream[start: start + C + k - 1]
-            codes_b[row, : piece.shape[0]] = piece
-            sw = seg_win[start: start + C]
-            seg_b[row, : sw.shape[0]] = sw
+        k = self.k
+        codes_b, seg_b, starts = self._pack_group(seqs)
 
         rk, ak, kasm_seg, kmis_seg, overflow = self._dump_group_impl(
             codes_b, seg_b, self.read_lookup.tree(), self.asm_lookup.tree(),

@@ -92,14 +92,15 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
         nonlocal group, group_pos, g_kover, g_undr, g_over
         if not group:
             return
-        for _, s in group:
-            print(f"Processing sequence {s.ident} for histogram", file=log)
         stats_list, uh, oh, kover_g = engine.hist_group(
             [s.codes() for _, s in group])
         g_undr += uh
         g_over += oh
         g_kover += kover_g
         for (_, s), st in zip(group, stats_list):
+            # per-sequence Processing/Output interleaving, as the
+            # reference's worker/writer pair prints (merfin-histogram.C)
+            print(f"Processing sequence {s.ident} for histogram", file=log)
             print(f"Output sequence {s.ident}", file=log)
             seq_line(s, st)
         save_ckpt(group[-1][0])

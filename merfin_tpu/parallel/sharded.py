@@ -112,15 +112,23 @@ class ShardedLookup:
         t = mesh.shape["t"]
         n_raw = keys.shape[0]
         bounds = [round(i * n_raw / t) for i in range(t + 1)]
-        m_pad = max(1, max(bounds[i + 1] - bounds[i] for i in range(t)))
 
         if filt:
-            n = 0
-            for lo in range(0, n_raw, 1 << 24):
-                vv = np.asarray(vals[lo: lo + (1 << 24)])
-                n += int(np.count_nonzero((vv >= min_v) & (vv <= max_v)))
+            # one chunked pass over the value stream: per-shard FILTERED
+            # row counts, so the padded device arrays shrink with the
+            # filter (a -min that halves the table halves its HBM)
+            kept = np.zeros(t, dtype=np.int64)
+            for r in range(t):
+                a, b = bounds[r], bounds[r + 1]
+                for lo in range(a, b, 1 << 24):
+                    vv = np.asarray(vals[lo: min(lo + (1 << 24), b)])
+                    kept[r] += int(np.count_nonzero(
+                        (vv >= min_v) & (vv <= max_v)))
+            n = int(kept.sum())
+            m_pad = max(1, int(kept.max()))
         else:
             n = n_raw
+            m_pad = max(1, max(bounds[i + 1] - bounds[i] for i in range(t)))
 
         def shard_rows(src, fill, dtype):
             def cb(index):
@@ -132,7 +140,7 @@ class ShardedLookup:
                     a, b = bounds[r], bounds[r + 1]
                     row = np.asarray(src[a:b])
                     if filt:
-                        vv = np.asarray(vals[a:b])
+                        vv = row if src is vals else np.asarray(vals[a:b])
                         row = row[(vv >= min_v) & (vv <= max_v)]
                     out[j, : row.shape[0]] = row
                 return out

@@ -44,13 +44,16 @@ def main() -> int:
             a = 0.0 if parts[1] == "NA" else float(parts[1])
             b = 0.0 if parts[2] == "NA" else float(parts[2])
             if missing:
+                # missing k-mers appear ONLY as the diamond overlay (the
+                # R reference's density layer drops NA rows)
                 m_counts.append(c)
                 m_k1.append(a)
                 m_k2.append(b)
+                continue
             counts.append(c)
             k1.append(a)
             k2.append(b)
-    if not counts:
+    if not counts and not m_counts:
         sys.stderr.write("no rows parsed\n")
         return 1
 
