@@ -228,10 +228,9 @@ def run(cfg: MerfinConfig) -> int:
                   file=log)
             from merfin_tpu.count.counter import count_files
 
-            if not multi or mh.process_info()[0] == 0:
-                count_files([cfg.seq_name], k, cfg.seq_db_name, log=log)
-            if multi:
-                mh.barrier("seqdb-built")   # ranks >0 wait for the build
+            # multi-host aware: ranks stripe the input blocks and rank 0
+            # merges the database (count_files barriers internally)
+            count_files([cfg.seq_name], k, cfg.seq_db_name, log=log)
 
     read_db = KmerDB(cfg.read_db_name)
     asm_db = KmerDB(cfg.seq_db_name)
@@ -403,6 +402,10 @@ def db_tool_main(argv: list[str]) -> int:
     from merfin_tpu.io.mkdb import KmerDB
     from merfin_tpu.io import meryl_text
     from merfin_tpu.count import algebra
+    from merfin_tpu.parallel.multihost import maybe_init_from_env
+
+    # `count` stripes input blocks across a multi-host launch
+    maybe_init_from_env(log=sys.stderr)
 
     cmd = argv[0]
     args = argv[1:]

@@ -251,15 +251,50 @@ def count_files(
     merge (meryl's out-of-core counting role, SURVEY.md §2.2).
     """
 
+    from merfin_tpu.parallel import multihost as mh
+
+    multi = mh.is_active()
+    pid, pcount = mh.process_info() if multi else (0, 1)
+
     def all_seqs():
+        i = 0
         for p in paths:
             # packed blocks: records joined with k-1 separators + window
-            # overlap; each block counts as an independent sequence
-            yield from SeqFile(p).iter_packed(k, window=window)
+            # overlap; each block counts as an independent sequence.
+            # Multi-host: block stripe per process (exact: overlap carry
+            # makes every block independently countable).
+            for block in SeqFile(p).iter_packed(k, window=window):
+                if not multi or i % pcount == pid:
+                    yield block
+                i += 1
 
     budget = int(memory_gb * 1024**3) if memory_gb is not None else None
+    if multi and spill_dir is None:
+        spill_dir = f"{out_db}.spill.rank{pid}"
     acc = _Accumulator(k=k, budget_bytes=budget, spill_dir=spill_dir)
     _count_into(acc, all_seqs(), k, chunk=chunk, use_device=use_device, log=log)
+
+    if multi:
+        # every rank spills its stripe's counts to the shared filesystem;
+        # rank 0 merges all runs into the database (64-slice out-of-core)
+        from merfin_tpu.count.spill import SpillStore, merge_to_mkdb
+
+        if acc.mem_parts() or acc.store is None:
+            acc._spill()
+        total = int(mh.merge_scalar_across_hosts(acc.total))
+        mh.barrier("count-spilled")
+        if pid == 0:
+            dirs = [f"{out_db}.spill.rank{r}" for r in range(pcount)]
+            store = SpillStore.gather(dirs, k)
+            print(f"count: merging {len(store.runs)} spilled runs "
+                  f"from {pcount} hosts", file=log)
+            merge_to_mkdb(out_db, k, store, [], total)
+            for d in dirs:
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+        mh.barrier("count-merged")
+        return KmerDB(out_db)
 
     if acc.store is not None:
         from merfin_tpu.count.spill import merge_to_mkdb

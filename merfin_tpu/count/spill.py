@@ -47,13 +47,40 @@ class SpillStore:
 
     def spill(self, keys: np.ndarray, vals: np.ndarray) -> None:
         """Write one sorted run (uint64 keys, uint64 vals)."""
+        import json
+
         i = len(self.runs)
         prefix = os.path.join(self.dir, f"run{i:04d}")
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         vals = np.ascontiguousarray(vals, dtype=np.uint64)
         keys.tofile(prefix + ".keys")
         vals.tofile(prefix + ".vals")
-        self.runs.append((prefix, slice_offsets_of(keys, self.k)))
+        offs = slice_offsets_of(keys, self.k)
+        # sidecar so another process (multi-host rank 0) can gather runs
+        with open(prefix + ".meta.json", "w") as f:
+            json.dump([int(x) for x in offs], f)
+        self.runs.append((prefix, offs))
+
+    @classmethod
+    def gather(cls, dirs: list[str], k: int) -> "SpillStore":
+        """A read-only store over every run found under ``dirs`` (in dir
+        order, run order) — the multi-host gather: each rank spilled its
+        stripe's runs to a shared filesystem, rank 0 merges them all."""
+        import json
+
+        store = cls.__new__(cls)
+        store.k = k
+        store._own = False
+        store.dir = dirs[0] if dirs else "."
+        store.runs = []
+        for d in dirs:
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".meta.json"):
+                    prefix = os.path.join(d, name[: -len(".meta.json")])
+                    with open(os.path.join(d, name)) as f:
+                        offs = np.asarray(json.load(f), dtype=np.int64)
+                    store.runs.append((prefix, offs))
+        return store
 
     def run_slice(self, run: int, s: int) -> tuple[np.ndarray, np.ndarray]:
         prefix, offs = self.runs[run]
@@ -70,7 +97,7 @@ class SpillStore:
             shutil.rmtree(self.dir, ignore_errors=True)
         else:
             for prefix, _ in self.runs:
-                for ext in (".keys", ".vals"):
+                for ext in (".keys", ".vals", ".meta.json"):
                     try:
                         os.remove(prefix + ext)
                     except OSError:

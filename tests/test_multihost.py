@@ -80,7 +80,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_driver(tmp, tag, extra_env):
+def _run_driver_src(tmp, tag, src, extra_env):
     env = {**os.environ,
            "PYTHONPATH": REPO,
            "MERFIN_PLATFORM": "cpu",
@@ -89,8 +89,12 @@ def _run_driver(tmp, tag, extra_env):
            "MERFIN_TPU_CACHE": str(tmp / "jaxcache"),
            **extra_env}
     return subprocess.Popen(
-        [sys.executable, "-c", DRIVER, str(tmp), tag],
+        [sys.executable, "-c", src, str(tmp), tag],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+
+def _run_driver(tmp, tag, extra_env):
+    return _run_driver_src(tmp, tag, DRIVER, extra_env)
 
 
 def test_two_process_matches_single(world):
@@ -137,6 +141,61 @@ def test_two_process_matches_single(world):
             if not l.startswith("#")]
     assert len(recs) == 3
     assert [r.split("\t")[0] for r in recs] == ["s0", "s1", "s2"]
+
+
+COUNT_DRIVER = """
+import sys
+from merfin_tpu.cli import db_tool_main
+
+tmp, tag = sys.argv[1], sys.argv[2]
+assert db_tool_main(["count", "k=11", f"{tmp}/reads.fq",
+                     f"output={tmp}/{tag}.mkdb"]) == 0
+print("ALLDONE")
+"""
+
+
+def test_two_process_count_matches_single(world):
+    """Multi-host counting: block stripes + shared-FS spill gather must
+    reproduce the single-process database exactly."""
+    import gzip
+    import random as _random
+
+    import numpy as np
+
+    from merfin_tpu.io.mkdb import KmerDB
+
+    tmp = world
+    rng = _random.Random(3)
+    with open(tmp / "reads.fq", "w") as f:
+        for i in range(400):
+            r = "".join(rng.choice("ACGT")
+                        for _ in range(rng.randint(30, 120)))
+            f.write(f"@q{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    p = _run_driver_src(tmp, "c1", COUNT_DRIVER, {})
+    out, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()[-3000:]
+
+    port = _free_port()
+    procs = [
+        _run_driver_src(tmp, "c2", COUNT_DRIVER, {
+            "MERFIN_NUM_PROCESSES": "2",
+            "MERFIN_PROCESS_ID": str(i),
+            "MERFIN_COORDINATOR": f"127.0.0.1:{port}",
+        })
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    a = KmerDB(str(tmp / "c1.mkdb"))
+    b = KmerDB(str(tmp / "c2.mkdb"))
+    assert a.total == b.total and a.distinct == b.distinct
+    assert np.array_equal(np.asarray(a.keys), np.asarray(b.keys))
+    assert np.array_equal(np.asarray(a.vals), np.asarray(b.vals))
+    assert a.slice_offsets.tolist() == b.slice_offsets.tolist()
+    assert not list(tmp.glob("*.spill.rank*"))
 
 
 MESH_DRIVER = """
