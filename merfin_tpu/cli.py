@@ -199,14 +199,6 @@ def run(cfg: MerfinConfig) -> int:
 
     multi = mh.maybe_init_from_env(log=log)
     if multi:
-        if cfg.mesh and cfg.report_type not in ("hist", "completeness"):
-            # dump/variants have positional (addressable-shard) outputs;
-            # use the striped multi-host path for those (no -mesh), or a
-            # per-host mesh in separate runs
-            print("ERROR: -mesh spanning a multi-host launch supports -hist "
-                  "and -completeness; drop -mesh for this report type.",
-                  file=log)
-            return 1
         if cfg.resume or cfg.debug:
             print("ERROR: -resume/-debug are not supported with multi-host runs.",
                   file=log)
@@ -389,6 +381,7 @@ def run(cfg: MerfinConfig) -> int:
             rlookup, alookup,
             cfg.peak, prob, cfg.out_name, comb=cfg.comb, debug=cfg.debug, log=log,
             resume=cfg.resume, threads=cfg.threads,
+            spans=mesh is not None and multi,
         )
 
     print("Bye!", file=log)

@@ -40,10 +40,15 @@ def run_dump(
     g_kasm = 0
     out = None
 
-    # Multi-host: sequence stripes -> per-process part files -> ordered
-    # merge by rank 0 (the reference forces in-order dump output,
-    # merfin.C:384; across hosts that order is restored at the gather).
+    # Multi-host, two shapes (cf. run_hist):
+    #  * striped — each process takes its sequence stripe;
+    #  * host-spanning mesh (engine.spans_hosts) — every process drives
+    #    the same sequences; each host emits only the chunk rows its
+    #    devices computed, keyed by global chunk ordinal.
+    # Either way rank 0 merges the part files back into the single
+    # in-order output (merfin.C:384 contract).
     multi = mh.is_active()
+    spans = bool(getattr(engine, "spans_hosts", False))
     part = None
     pid, pcount = 0, 1
     if multi:
@@ -123,6 +128,7 @@ def run_dump(
         group = []
         group_pos = 0
 
+    chunk_base = 0   # global chunk ordinal (spans mode part keys)
     try:
         from merfin_tpu.utils.prefetch import prefetch_iter
 
@@ -130,7 +136,29 @@ def run_dump(
             seq_idx += 1
             if seq_idx <= skip:
                 continue
-            if multi and (seq_idx - 1) % pcount != pid:
+            if multi and not spans and (seq_idx - 1) % pcount != pid:
+                continue
+            if multi and spans:
+                print(f"Processing sequence {seq.ident} for dumping", file=log)
+                kasm_l = 0
+                mis_l = 0
+                for ordinal, start, rk, ak, km, kasm, kmis in \
+                        engine.dump_sequence_local(seq.codes()):
+                    kasm_l += kasm
+                    mis_l += kmis
+                    if not skip_missing:
+                        data = format_block(seq.ident, start, rk, ak, km)
+                        if is_gz:
+                            data = gzip.compress(data, compresslevel=1)
+                        part.write_seq(chunk_base + ordinal, data)
+                n_pos = max(0, seq.length - engine.k + 1)
+                chunk_base += -(-n_pos // engine.chunk)
+                print(f"Output sequence {seq.ident}", file=log)
+                g_kasm += int(mh.merge_scalar_across_hosts(kasm_l))
+                seq_missing = int(mh.merge_scalar_across_hosts(mis_l))
+                g_missing += seq_missing
+                print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}",
+                      file=log)
                 continue
             need = seq.length + engine.k - 1
             if cap and need <= cap:
@@ -162,8 +190,9 @@ def run_dump(
             part.close()
 
     if multi:
-        g_missing = int(mh.merge_scalar_across_hosts(g_missing))
-        g_kasm = int(mh.merge_scalar_across_hosts(g_kasm))
+        if not spans:   # spans mode merged per sequence already
+            g_missing = int(mh.merge_scalar_across_hosts(g_missing))
+            g_kasm = int(mh.merge_scalar_across_hosts(g_kasm))
         mh.barrier("dump-parts")
         if pid == 0 and not skip_missing:
             from merfin_tpu.utils.partmerge import merge_parts

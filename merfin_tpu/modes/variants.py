@@ -187,6 +187,7 @@ def run_variants(
     query_budget: int = 1 << 23,
     resume: bool = False,
     threads: int = 1,
+    spans: bool = False,
 ):
     """Variant-mode driver.  ``threads`` > 1 fans the CPU-bound stages
     (path enumeration, mode selection) over worker processes — the
@@ -221,8 +222,13 @@ def run_variants(
     out = None  # lazily opened, like outputVariants (merfin-variants.C:321)
     dbg = DebugWriter(out_name) if debug else None
 
-    # Multi-host: sequence stripes -> per-process part files (no headers)
-    # -> ordered merge with headers by rank 0.
+    # Multi-host, two shapes:
+    #  * striped — sequence stripes -> per-process part files (no
+    #    headers) -> ordered merge with headers by rank 0;
+    #  * ``spans`` (host-spanning mesh lookups) — the sharded table
+    #    needs every process in each collective, so all ranks evaluate
+    #    every cluster (the table memory, not host CPU, is what the
+    #    global mesh buys) and only rank 0 writes.
     from merfin_tpu.parallel import multihost as mh
 
     multi = mh.is_active()
@@ -232,9 +238,10 @@ def run_variants(
         pid, pcount = mh.process_info()
         assert not resume and not debug, \
             "-resume/-debug are not supported with multi-host runs"
-        from merfin_tpu.utils.partmerge import PartWriter
+        if not spans:
+            from merfin_tpu.utils.partmerge import PartWriter
 
-        part = PartWriter(out_path, pid)
+            part = PartWriter(out_path, pid)
 
     # Checkpoint/resume at the sequence boundary (not combinable with
     # -debug: the per-thread debug gz stream is not offset-restartable).
@@ -262,16 +269,16 @@ def run_variants(
         seq_idx += 1
         if seq_idx <= skip:
             continue
-        if multi and (seq_idx - 1) % pcount != pid:
+        if multi and not spans and (seq_idx - 1) % pcount != pid:
             continue
         # The reference's writer opens the output (headers included) for
         # the first sequence regardless of whether it has any variants
         # (outputVariants runs per sequence, merfin-variants.C:313-341).
-        if not multi:
+        if not multi or (spans and pid == 0):
             ensure_out()
         clusters = vcf.by_chrom.get(seq.ident)
         if clusters is None:
-            if not multi:
+            if out is not None:
                 ckpt.save(seq_idx, out.tell(), {})
             continue
         print(f"Processing sequence {seq.ident} for variants", file=log)
@@ -362,7 +369,7 @@ def run_variants(
         n_selected += text.count("\n")
         if part is not None:
             part.write_seq(seq_idx, text.encode())
-        else:
+        elif not multi or pid == 0:
             f = ensure_out()
             f.write(text.encode())
             f.flush()
@@ -375,7 +382,9 @@ def run_variants(
         out.close()
     if part is not None:
         part.close()
-    if multi:
+    if multi and spans:
+        mh.barrier("variants-spans-done")   # ranks computed identically
+    elif multi:
         from merfin_tpu.utils.partmerge import merge_parts
 
         n_selected = int(mh.merge_scalar_across_hosts(n_selected))

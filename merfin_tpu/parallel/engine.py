@@ -102,6 +102,54 @@ class ShardedKstarEngine:
         over += np.asarray(oh)
         return stats, undr, over
 
+    @staticmethod
+    def _local_rows(arr):
+        """Addressable rows of a P(\"d\", ...) array: {row_index: np row}.
+
+        Under a host-spanning mesh each process can only read the shards
+        its devices hold; the \"t\" axis replicates rows, so duplicate
+        shard indices collapse."""
+        rows = {}
+        for sh in arr.addressable_shards:
+            idx = sh.index[0] if isinstance(sh.index, tuple) else sh.index
+            r0 = idx.start or 0
+            data = np.asarray(sh.data)
+            for j in range(data.shape[0]):
+                rows[r0 + j] = data[j]
+        return rows
+
+    def dump_sequence_local(self, codes: np.ndarray):
+        """Host-spanning-mesh -dump: yield
+        (chunk_ordinal, start, readK, asmK, kmetric, kasm, kmissing)
+        for the chunks THIS process's devices computed (each host holds
+        its \"d\"-rows; the caller routes rows to part files and merges
+        by ordinal).  Every process must iterate the same sequences."""
+        from merfin_tpu.score.kstar import k_metric_np
+
+        if codes.shape[0] < self.k:
+            return
+        if self._dump_step is None:
+            self._dump_step = make_dump_step(
+                self.mesh, self._read_lookup, self._asm_lookup,
+                self.k, self.value_map)
+        n_pos = codes.shape[0] - self.k + 1
+        ordinal = 0
+        for batch, group in self._batches_of(codes):
+            rk, ak, kasm, kmis, overflow = self._dump_step(
+                self._put(batch, self._sharding))
+            self.overflow_values += int(overflow)
+            rk_rows = self._local_rows(rk)
+            ak_rows = self._local_rows(ak)
+            kasm_rows = self._local_rows(kasm)
+            kmis_rows = self._local_rows(kmis)
+            for row, start in enumerate(group):
+                if row in rk_rows:
+                    n = min(self.chunk, n_pos - start)
+                    r, a = rk_rows[row][:n], ak_rows[row][:n]
+                    yield (ordinal + row, start, r, a, k_metric_np(r, a),
+                           int(kasm_rows[row]), int(kmis_rows[row]))
+            ordinal += len(group)
+
     def dump_sequence(self, codes: np.ndarray):
         """Yield (start, readK, asmK, kmetric, kasm, kmissing) per chunk —
         same contract as KstarEngine.dump_sequence, in input order."""

@@ -202,13 +202,18 @@ MESH_DRIVER = """
 import sys
 from merfin_tpu.cli import merfin_main
 
-tmp, tag = sys.argv[1], sys.argv[2]
+# outputs share one name across ranks (multi-host contract: one output
+# on the shared filesystem, written/merged by rank 0)
+tmp, tag = sys.argv[1], "gm"
 base = ["-sequence", f"{tmp}/asm.fasta", "-readmers", f"{tmp}/read.mkdb",
         "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20", "-mesh", "2x4"]
 assert merfin_main(["-hist"] + base + ["-output", f"{tmp}/{tag}.hist"]) == 0
 assert merfin_main(["-completeness", "-mesh", "2x4",
                     "-readmers", f"{tmp}/read.mkdb",
                     "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20"]) == 0
+assert merfin_main(["-dump"] + base + ["-output", f"{tmp}/{tag}.dump"]) == 0
+assert merfin_main(["-polish"] + base + ["-vcf", f"{tmp}/calls.vcf",
+                    "-output", f"{tmp}/{tag}.pol"]) == 0
 print("ALLDONE")
 """
 
@@ -238,10 +243,15 @@ def test_global_mesh_spans_two_processes(world):
         assert p.returncode == 0, err.decode()[-3000:]
         assert b"ALLDONE" in out
 
-    # rank 0 wrote the hist; identical to the single-process run from
+    # rank 0 wrote the outputs; identical to the single-process run from
     # test_two_process_matches_single (module-scoped world)
-    assert (tmp / "gm0.hist").read_bytes() == (tmp / "one.hist").read_bytes()
-    assert not (tmp / "gm1.hist").exists()
+    assert (tmp / "gm.hist").read_bytes() == (tmp / "one.hist").read_bytes()
+    # -dump: chunk rows from both hosts merged back in order
+    assert (tmp / "gm.dump").read_bytes() == (tmp / "one.dump").read_bytes()
+    # -polish: replicated evaluation through the host-spanning table
+    assert (tmp / "gm.pol.polish.vcf").read_bytes() == \
+        (tmp / "one.pol.polish.vcf").read_bytes()
+    assert not list(tmp.glob("*.part*"))
 
     err0, err1 = outs[0][1].decode(), outs[1][1].decode()
     assert "COMPLETENESS" in err0 and "COMPLETENESS" not in err1
