@@ -97,6 +97,8 @@ def merfin_main(argv: list[str]) -> int:
                 cfg.sortjoin = True
             elif a == "-nosortjoin":
                 cfg.sortjoin = False
+            elif a == "-devscore":
+                cfg.devscore = True
             elif a in mode_flags:
                 if a == "-loose":
                     print("*EXPERIMENTAL* Running in -loose mode", file=sys.stderr)
@@ -372,16 +374,27 @@ def run(cfg: MerfinConfig) -> int:
         vcf.merge_clusters(k, cfg.comb, cfg.nosplit, log=log)
 
         print("-- Generate variant mers and score them.", file=log)
+        scorer = None
         if mesh is not None:
             rlookup, alookup = read_sharded.lookup_np, asm_sharded.lookup_np
+            if cfg.devscore:
+                print("ERROR: -devscore is not supported with -mesh "
+                      "(use the sharded lookup path).", file=log)
+                return 1
         else:
             rlookup, alookup = read_lookup.lookup_np, asm_lookup.lookup_np
+            if cfg.devscore:
+                from merfin_tpu.variants.device_score import DeviceScorer
+
+                print("-- Using fused device scoring (-devscore).", file=log)
+                scorer = DeviceScorer(read_lookup, asm_lookup, k, cfg.peak,
+                                      prob, max_value=_db_max(read_db))
         run_variants(
             cfg.report_type, seq_file, vcf, k,
             rlookup, alookup,
             cfg.peak, prob, cfg.out_name, comb=cfg.comb, debug=cfg.debug, log=log,
             resume=cfg.resume, threads=cfg.threads,
-            spans=mesh is not None and multi,
+            spans=mesh is not None and multi, scorer=scorer,
         )
 
     print("Bye!", file=log)

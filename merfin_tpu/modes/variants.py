@@ -188,6 +188,7 @@ def run_variants(
     resume: bool = False,
     threads: int = 1,
     spans: bool = False,
+    scorer=None,
 ):
     """Variant-mode driver.  ``threads`` > 1 fans the CPU-bound stages
     (path enumeration, mode selection) over worker processes — the
@@ -326,7 +327,7 @@ def run_variants(
                 j += 1
             all_scores[i:j] = score_path_groups(
                 groups, k, lookup_read, lookup_asm, peak, prob_table,
-                filter_mode, threads=max(1, threads)
+                filter_mode, threads=max(1, threads), scorer=scorer
             )
             i = j
 

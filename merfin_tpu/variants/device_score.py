@@ -1,0 +1,100 @@
+"""Device-fused variant-path scoring (opt-in).
+
+The default scorer runs table lookups on device and the per-kmer K*/
+delta math on the host in exact f64 (variants/score.py) — selector
+tie-breaks compare doubles, and accelerator f64 is emulated, so the
+host path is the parity-safe default.  This module fuses the WHOLE
+per-kmer pipeline — k-mer extraction, dual exact lookup, getK, the
+new-kmer asmK+1 adjustment, |K*| and delta-multiplicity — into one
+jitted dispatch over the packed path stream (varMer::score semantics,
+varMer.C:76-135, as a flat array program).  Selectors stay on the host.
+
+On CPU backends the results are bit-identical to the host scorer
+(tested); on TPU the ratio math may differ in final ulps from host
+doubles.  Enable with -devscore.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from merfin_tpu.config import ensure_x64
+from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
+from merfin_tpu.score.kstar import ProbTable
+from merfin_tpu.score.value_map import ValueMap
+
+
+class DeviceScorer:
+    """Scores packed candidate-path streams in one device dispatch."""
+
+    def __init__(self, read_lookup, asm_lookup, k: int, peak: float,
+                 prob_table: ProbTable | None, max_value: int | None = None):
+        ensure_x64()
+        import jax
+
+        self.k = k
+        self.read_lookup = read_lookup
+        self.asm_lookup = asm_lookup
+        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
+        self.overflow_values = 0
+        self._impl = jax.jit(self._score_stream)
+
+    def _score_stream(self, r_tree, a_tree, vm, codes, adjust, path_start):
+        """codes u8 [N + k - 1] (packed paths, k-1 separators) ->
+        (kstr [N], dkstr [N], overflow).
+
+        path_start[i] = flat index of the path containing window i's
+        first window (separators make cross-path windows invalid, so it
+        only gates the prob forward-fill).  Mirrors
+        score._scores_batched exactly (tested for equality on CPU).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        fmer, rmer, valid = kmer_windows(codes, self.k)
+        canon, mult = canonical_and_mult(fmer, rmer)
+        read_v = self.read_lookup.lookup_with(r_tree, canon).astype(np.uint64) * mult
+        asm_v = self.asm_lookup.lookup_with(a_tree, canon).astype(np.uint64) * mult
+        read_k, prob, overflow = self.value_map.lookup_jnp(read_v, vm)
+        asm_k = asm_v.astype(jnp.float64)
+        read_k = jnp.where(valid, read_k, 0.0)
+        asm_k = jnp.where(valid, asm_k, 0.0)
+
+        # stale-prob forward fill, reset at path starts (the host
+        # scorer's per-row fill, score.py:_scores_batched)
+        n = read_k.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int64)
+        vi = jnp.where(valid, idx, jnp.int64(-1))
+        last = jax.lax.cummax(vi)
+        prob_f = jnp.where(last >= path_start,
+                           prob[jnp.clip(last, 0, None)], 1.0)
+
+        o_delta = jnp.abs(read_k - asm_k) * prob_f
+        asm_adj = asm_k + adjust.astype(jnp.float64)
+        over = read_k / asm_adj - 1.0
+        under = asm_adj / read_k - 1.0
+        kstr = jnp.where(read_k == 0, -1.0,
+                         jnp.where(read_k > asm_adj, over, under))
+        n_delta = jnp.abs(read_k - asm_adj) * prob_f
+        return kstr, o_delta - n_delta, overflow
+
+    def score_stream(self, codes: np.ndarray, adjust: np.ndarray,
+                     path_start: np.ndarray):
+        """Numpy-in/numpy-out; pads to a power of two for shape reuse."""
+        k = self.k
+        n = max(0, codes.shape[0] - k + 1)
+        if n == 0:
+            return np.zeros(0), np.zeros(0)
+        p = max(4096, 1 << (n - 1).bit_length())
+        codes_p = np.full(p + k - 1, 4, dtype=np.uint8)
+        codes_p[: codes.shape[0]] = codes
+        adj_p = np.zeros(p, dtype=bool)
+        adj_p[:n] = adjust[:n]
+        ps_p = np.full(p, np.iinfo(np.int64).max, dtype=np.int64)
+        ps_p[:n] = path_start[:n]
+        kstr, dkstr, overflow = self._impl(
+            self.read_lookup.tree(), self.asm_lookup.tree(),
+            self.value_map.device_arrays(), codes_p, adj_p, ps_p)
+        self.overflow_values += int(overflow)
+        with np.errstate(all="ignore"):
+            return (np.asarray(kstr)[:n], np.asarray(dkstr)[:n])

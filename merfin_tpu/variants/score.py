@@ -202,12 +202,15 @@ def score_path_groups(
     prob_table: ProbTable | None,
     filter_mode: bool = False,
     threads: int = 1,
+    scorer=None,
 ) -> list[list[PathScore]]:
     """Score paths of many clusters with ONE batched lookup dispatch.
 
     lookup_* map a uint64 canonical-mer numpy array -> uint64 value array
     (0 for absent); they may run on device (DeviceLookup) or host.
     ``threads`` parallelizes the post-lookup scoring math across cores.
+    ``scorer`` (a variants.device_score.DeviceScorer) replaces the whole
+    lookup + host-math pipeline with one fused device dispatch.
     """
     # Pack every path's bases into ONE code stream with k-1 separators and
     # extract all k-mers in a single vectorized pass (a per-path
@@ -225,6 +228,16 @@ def score_path_groups(
         starts[i] = pos
         pos += codes.shape[0] + (k - 1)
     starts[len(all_paths)] = pos
+
+    if scorer is not None:
+        flat_scores = _score_with_device(all_paths, starts, pieces, k,
+                                         filter_mode, scorer)
+        out: list[list[PathScore]] = []
+        qi = 0
+        for paths in groups:
+            out.append(flat_scores[qi: qi + len(paths)])
+            qi += len(paths)
+        return out
 
     if all_paths:
         stream = np.concatenate(pieces)
@@ -254,6 +267,43 @@ def score_path_groups(
     for paths in groups:
         out.append(flat_scores[qi : qi + len(paths)])
         qi += len(paths)
+    return out
+
+
+def _score_with_device(all_paths, starts, pieces, k, filter_mode, scorer):
+    """Fused device scoring: build the flat adjust/path-start planes and
+    slice per-path results back out (see variants/device_score.py)."""
+    if not all_paths:
+        return []
+    stream = np.concatenate(pieces)
+    n_win = max(0, stream.shape[0] - k + 1)
+    adjust = np.zeros(n_win, dtype=bool)
+    path_start = np.zeros(n_win, dtype=np.int64)
+    for i, p in enumerate(all_paths):
+        a = int(starts[i])
+        ni = max(0, len(p.seq) - k + 1)
+        path_start[a: int(starts[i + 1])] = a
+        for idx_path, len_path, gt_path in zip(p.idx_path, p.len_path,
+                                               p.gt_path):
+            if gt_path <= 0 or idx_path + 1 < k:   # uint32 underflow quirk
+                continue
+            lo = max(0, idx_path + 1 - k)
+            hi = min(ni, idx_path + len_path + k)
+            if lo < hi:
+                adjust[a + lo: a + hi] = True
+
+    kstr_f, dkstr_f = scorer.score_stream(stream, adjust, path_start)
+    empty = np.zeros(0)
+    out = []
+    for i, p in enumerate(all_paths):
+        a = int(starts[i])
+        ni = max(0, len(p.seq) - k + 1)
+        ks = kstr_f[a: a + ni]
+        num_m = int(np.count_nonzero(ks == -1.0))
+        if filter_mode:
+            out.append(PathScore(num_m, empty, empty))
+        else:
+            out.append(PathScore(num_m, ks, dkstr_f[a: a + ni]))
     return out
 
 

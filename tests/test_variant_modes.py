@@ -152,3 +152,71 @@ def test_nonexistent_chrom_vcf_makes_empty_output(world, tmp_path):
     # headers-only output (file IS opened for the first sequence)
     lines = (tmp_path / "empty.polish.vcf").read_text().splitlines()
     assert all(l.startswith("#") for l in lines) and len(lines) == 2
+
+
+def test_device_scorer_matches_host(world, tmp_path):
+    """Fused device scoring (-devscore) is bit-identical to the host
+    scorer on CPU: same selected records across modes, with and without
+    a prob table."""
+    import numpy as np
+
+    from merfin_tpu.score.kstar import ProbTable
+    from merfin_tpu.variants.device_score import DeviceScorer
+
+    prob = ProbTable(np.asarray([1, 1, 2], np.uint32),
+                     np.asarray([0.9, 0.8, 0.7]))
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+    for mode in ("polish", "filter", "loose"):
+        for pt in (None, prob):
+            vcf = VcfFile(world["vcf"], log=io.StringIO())
+            vcf.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+            host_out = tmp_path / f"h_{mode}_{pt is not None}"
+            run_variants(mode, SeqFile(world["fasta"]), vcf, K,
+                         rl.lookup_np, al.lookup_np, peak=30.0,
+                         prob_table=pt, out_name=str(host_out),
+                         log=io.StringIO())
+
+            vcf2 = VcfFile(world["vcf"], log=io.StringIO())
+            vcf2.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+            scorer = DeviceScorer(rl, al, K, 30.0, pt)
+            dev_out = tmp_path / f"d_{mode}_{pt is not None}"
+            run_variants(mode, SeqFile(world["fasta"]), vcf2, K,
+                         rl.lookup_np, al.lookup_np, peak=30.0,
+                         prob_table=pt, out_name=str(dev_out),
+                         log=io.StringIO(), scorer=scorer)
+
+            suffix = "polish" if mode == "polish" else "filter"
+            a = (host_out.parent / f"{host_out.name}.{suffix}.vcf").read_bytes()
+            b = (dev_out.parent / f"{dev_out.name}.{suffix}.vcf").read_bytes()
+            assert a == b, (mode, pt is not None)
+
+
+def test_device_scorer_raw_scores_match(world):
+    """PathScore arrays (kstr/dkstr/num_m) from the device scorer equal
+    the host scorer's exactly on CPU — not just the selected records."""
+    import numpy as np
+
+    from merfin_tpu.variants.device_score import DeviceScorer
+    from merfin_tpu.variants.score import score_path_groups
+    from merfin_tpu.variants.enumerate import enumerate_paths
+
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+    asm = world["asm"]
+    # two clusters incl. an indel path to exercise idx shifts
+    g1 = enumerate_paths(asm[140:170], [10], [1],
+                         [[asm[150], "T", ""]])
+    g2 = enumerate_paths(asm[390:420], [10, 14], [1, 1],
+                         [[asm[400], "A"], [asm[404], "GG"]])
+    host = score_path_groups([g1, g2], K, rl.lookup_np, al.lookup_np,
+                             30.0, None, False)
+    scorer = DeviceScorer(rl, al, K, 30.0, None)
+    dev = score_path_groups([g1, g2], K, rl.lookup_np, al.lookup_np,
+                            30.0, None, False, scorer=scorer)
+    for hg, dg in zip(host, dev):
+        assert len(hg) == len(dg)
+        for h, d in zip(hg, dg):
+            assert h.num_m == d.num_m
+            np.testing.assert_array_equal(h.kstr, d.kstr)
+            np.testing.assert_array_equal(h.dkstr, d.dkstr)
