@@ -124,6 +124,8 @@ def merfin_main(argv: list[str]) -> int:
         errs.append("No sequence meryl database (-seqmers) nor sequence (-sequence) supplied.\n")
     if cfg.report_type is None:
         errs.append("No report type (-filter, -polish, -hist, -dump, -completeness) supplied.\n")
+    if cfg.devscore and cfg.mesh:
+        errs.append("-devscore cannot be combined with -mesh (sharded lookups use the host scorer).\n")
     if cfg.read_db_name is None:
         errs.append("No read meryl database (-readmers) supplied.\n")
 
@@ -151,7 +153,8 @@ def _usage() -> None:
         "  -nosplit -comb -debug -skipMissing\n"
         "  Extensions: -resume (checkpointed restart), -mesh DxT (shard the\n"
         "  tables over a device mesh; all report types), -sortjoin/-nosortjoin\n"
-        "  (Pallas join kernel for -hist; auto on accelerators).\n"
+        "  (Pallas join kernel for -hist; auto on accelerators), -devscore\n"
+        "  (fused on-device variant scoring; host scoring is the default).\n"
         "  Multi-host: set MERFIN_NUM_PROCESSES, MERFIN_PROCESS_ID and\n"
         "  MERFIN_COORDINATOR (host:port) on every host; sequences/DB slices\n"
         "  stripe across processes and rank 0 writes the merged outputs.\n"
@@ -377,10 +380,6 @@ def run(cfg: MerfinConfig) -> int:
         scorer = None
         if mesh is not None:
             rlookup, alookup = read_sharded.lookup_np, asm_sharded.lookup_np
-            if cfg.devscore:
-                print("ERROR: -devscore is not supported with -mesh "
-                      "(use the sharded lookup path).", file=log)
-                return 1
         else:
             rlookup, alookup = read_lookup.lookup_np, asm_lookup.lookup_np
             if cfg.devscore:

@@ -11,6 +11,7 @@ The result is an MKDB (canonical, sorted, 64-way prefix-partitioned).
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Iterable
 
@@ -256,21 +257,25 @@ def count_files(
     multi = mh.is_active()
     pid, pcount = mh.process_info() if multi else (0, 1)
 
-    def all_seqs():
-        i = 0
+    def all_blocks():
         for p in paths:
             # packed blocks: records joined with k-1 separators + window
-            # overlap; each block counts as an independent sequence.
-            # Multi-host: block stripe per process (exact: overlap carry
-            # makes every block independently countable).
-            for block in SeqFile(p).iter_packed(k, window=window):
-                if not multi or i % pcount == pid:
-                    yield block
-                i += 1
+            # overlap; each block counts as an independent sequence
+            yield from SeqFile(p).iter_packed(k, window=window)
+
+    def all_seqs():
+        # Multi-host: block stripe per process (exact: the overlap carry
+        # makes every block independently countable)
+        return mh.host_sequences(all_blocks()) if multi else all_blocks()
 
     budget = int(memory_gb * 1024**3) if memory_gb is not None else None
-    if multi and spill_dir is None:
-        spill_dir = f"{out_db}.spill.rank{pid}"
+    spill_base = None
+    if multi:
+        # per-rank spill dirs on the shared filesystem (an explicit
+        # spill_dir is treated as the shared base, not a single dir —
+        # ranks would overwrite each other's run files)
+        spill_base = spill_dir or f"{out_db}.spill"
+        spill_dir = os.path.join(spill_base, f"rank{pid}")
     acc = _Accumulator(k=k, budget_bytes=budget, spill_dir=spill_dir)
     _count_into(acc, all_seqs(), k, chunk=chunk, use_device=use_device, log=log)
 
@@ -284,15 +289,15 @@ def count_files(
         total = int(mh.merge_scalar_across_hosts(acc.total))
         mh.barrier("count-spilled")
         if pid == 0:
-            dirs = [f"{out_db}.spill.rank{r}" for r in range(pcount)]
+            import shutil
+
+            dirs = [os.path.join(spill_base, f"rank{r}")
+                    for r in range(pcount)]
             store = SpillStore.gather(dirs, k)
             print(f"count: merging {len(store.runs)} spilled runs "
                   f"from {pcount} hosts", file=log)
             merge_to_mkdb(out_db, k, store, [], total)
-            for d in dirs:
-                import shutil
-
-                shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(spill_base, ignore_errors=True)
         mh.barrier("count-merged")
         return KmerDB(out_db)
 

@@ -43,6 +43,15 @@ class SpillStore:
         self._own = base_dir is None
         self.dir = base_dir or tempfile.mkdtemp(prefix="mkdb_spill_")
         os.makedirs(self.dir, exist_ok=True)
+        # wipe stale run files (a previous crashed run would otherwise
+        # silently merge into the new database via the meta sidecars)
+        for name in os.listdir(self.dir):
+            if name.startswith("run") and name.split(".", 1)[-1] in (
+                    "keys", "vals", "meta.json"):
+                try:
+                    os.remove(os.path.join(self.dir, name))
+                except OSError:
+                    pass
         self.runs: list[tuple[str, np.ndarray]] = []   # (prefix, offsets[65])
 
     def spill(self, keys: np.ndarray, vals: np.ndarray) -> None:

@@ -12,7 +12,9 @@ Parity targets (merfin-dump.C:72-104):
 Row formatting uses the native C++ formatter when available.  The output
 stream is written one sequence at a time in append mode — for .gz
 outputs each sequence is its own gzip member (readers see one stream),
-which makes per-sequence checkpoint/resume byte-exact.
+which makes per-sequence checkpoint/resume byte-exact.  Exception: on a
+host-spanning mesh each CHUNK is its own gzip member (chunks of one
+sequence live on different hosts); the decompressed bytes are identical.
 """
 
 from __future__ import annotations
@@ -154,8 +156,12 @@ def run_dump(
                 n_pos = max(0, seq.length - engine.k + 1)
                 chunk_base += -(-n_pos // engine.chunk)
                 print(f"Output sequence {seq.ident}", file=log)
-                g_kasm += int(mh.merge_scalar_across_hosts(kasm_l))
-                seq_missing = int(mh.merge_scalar_across_hosts(mis_l))
+                import numpy as _np
+
+                merged = mh.merge_array_across_hosts(
+                    _np.asarray([kasm_l, mis_l], dtype=_np.int64))
+                g_kasm += int(merged[0])
+                seq_missing = int(merged[1])
                 g_missing += seq_missing
                 print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}",
                       file=log)

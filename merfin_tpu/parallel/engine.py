@@ -104,13 +104,17 @@ class ShardedKstarEngine:
 
     @staticmethod
     def _local_rows(arr):
-        """Addressable rows of a P(\"d\", ...) array: {row_index: np row}.
+        """Rows of a P(\"d\", ...) array OWNED by this process:
+        {row_index: np row}.
 
-        Under a host-spanning mesh each process can only read the shards
-        its devices hold; the \"t\" axis replicates rows, so duplicate
-        shard indices collapse."""
+        The \"t\" axis replicates every d-row across t devices, which may
+        live on different processes (e.g. a 1xT mesh over two hosts) —
+        only the replica-0 holder owns a row, so each row is emitted by
+        exactly one process globally (no duplicated output chunks)."""
         rows = {}
         for sh in arr.addressable_shards:
+            if sh.replica_id != 0:
+                continue
             idx = sh.index[0] if isinstance(sh.index, tuple) else sh.index
             r0 = idx.start or 0
             data = np.asarray(sh.data)

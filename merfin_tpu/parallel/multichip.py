@@ -119,17 +119,20 @@ def make_hist_step(
     pr_dev = jnp.asarray(value_map.prob_host)
     undr_dev, over_dev = bin_table.device_arrays()
 
-    def run(state, codes):
-        # fold into a device-resident state (donated): the host loop
-        # never syncs mid-sequence, so data-parallel steps pipeline
-        return fold_hist_state(state, step(
-            read_lookup.keys, read_lookup.vals,
-            asm_lookup.keys, asm_lookup.vals,
-            rk_dev, pr_dev, undr_dev, over_dev,
-            codes,
-        ))
+    # Table arrays ride as jit ARGUMENTS, never closure constants: on a
+    # host-spanning mesh a shard may live on another process (closing
+    # over a non-addressable jax.Array is an error).
+    jrun = jax.jit(
+        lambda rk_k, rk_v, as_k, as_v, state, codes: fold_hist_state(
+            state, step(rk_k, rk_v, as_k, as_v,
+                        rk_dev, pr_dev, undr_dev, over_dev, codes)),
+        donate_argnums=4)
 
-    return jax.jit(run, donate_argnums=0)
+    def run(state, codes):
+        return jrun(read_lookup.keys, read_lookup.vals,
+                    asm_lookup.keys, asm_lookup.vals, state, codes)
+
+    return run
 
 
 def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):
@@ -172,11 +175,14 @@ def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):
     rk_dev = jnp.asarray(value_map.read_k_host)
     pr_dev = jnp.asarray(value_map.prob_host)
 
-    def run(rkeys, rvals, rmask):
-        return step(asm_lookup.keys, asm_lookup.vals, rk_dev, pr_dev,
-                    rkeys, rvals, rmask)
+    # table as jit args (host-spanning shards are non-addressable)
+    jrun = jax.jit(lambda as_k, as_v, rkeys, rvals, rmask: step(
+        as_k, as_v, rk_dev, pr_dev, rkeys, rvals, rmask))
 
-    return jax.jit(run)
+    def run(rkeys, rvals, rmask):
+        return jrun(asm_lookup.keys, asm_lookup.vals, rkeys, rvals, rmask)
+
+    return run
 
 
 def make_dump_step(
@@ -237,11 +243,12 @@ def make_dump_step(
     rk_dev = jnp.asarray(value_map.read_k_host)
     pr_dev = jnp.asarray(value_map.prob_host)
 
-    def run(codes):
-        return step(
-            read_lookup.keys, read_lookup.vals,
-            asm_lookup.keys, asm_lookup.vals,
-            rk_dev, pr_dev, codes,
-        )
+    # table as jit args (host-spanning shards are non-addressable)
+    jrun = jax.jit(lambda rk_k, rk_v, as_k, as_v, codes: step(
+        rk_k, rk_v, as_k, as_v, rk_dev, pr_dev, codes))
 
-    return jax.jit(run)
+    def run(codes):
+        return jrun(read_lookup.keys, read_lookup.vals,
+                    asm_lookup.keys, asm_lookup.vals, codes)
+
+    return run

@@ -256,3 +256,45 @@ def test_global_mesh_spans_two_processes(world):
     err0, err1 = outs[0][1].decode(), outs[1][1].decode()
     assert "COMPLETENESS" in err0 and "COMPLETENESS" not in err1
     assert "process 0 of 2" in err0 and "process 1 of 2" in err1
+
+
+DUMP_1XN_DRIVER = """
+import sys
+from merfin_tpu.cli import merfin_main
+
+tmp, tag = sys.argv[1], "g1n"
+assert merfin_main(["-dump", "-mesh", "1x8",
+                    "-sequence", f"{tmp}/asm.fasta",
+                    "-readmers", f"{tmp}/read.mkdb",
+                    "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20",
+                    "-output", f"{tmp}/{tag}.dump"]) == 0
+print("ALLDONE")
+"""
+
+
+def test_dump_1xn_mesh_no_duplicate_rows(world):
+    """A 1xT mesh spanning two processes replicates every d-row on both
+    hosts; only the replica-0 owner may emit a chunk (regression: rows
+    were duplicated and stats double-counted)."""
+    tmp = world
+    port = _free_port()
+    procs = [
+        _run_driver_src(tmp, "g1n", DUMP_1XN_DRIVER, {
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "MERFIN_NUM_PROCESSES": "2",
+            "MERFIN_PROCESS_ID": str(i),
+            "MERFIN_COORDINATOR": f"127.0.0.1:{port}",
+        })
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+    assert (tmp / "g1n.dump").read_bytes() == (tmp / "one.dump").read_bytes()
+    # per-seq stat lines must not double-count kasm: the world has three
+    # 500 bp scaffolds, so the final cumulative kasm column is 3*(500-K+1)
+    err0 = outs[0][1].decode()
+    stat_lines = [l for l in err0.splitlines()
+                  if l.startswith("s") and l.count("\t") == 3]
+    assert len(stat_lines) == 3
+    assert int(stat_lines[-1].split("\t")[3]) == 3 * (500 - K + 1)
