@@ -265,8 +265,12 @@ def count_files(
 
     def all_seqs():
         # Multi-host: block stripe per process (exact: the overlap carry
-        # makes every block independently countable)
-        return mh.host_sequences(all_blocks()) if multi else all_blocks()
+        # makes every block independently countable).  Prefetch overlaps
+        # the host parse/pack of the next window with device counting.
+        from merfin_tpu.utils.prefetch import prefetch_iter
+
+        blocks = mh.host_sequences(all_blocks()) if multi else all_blocks()
+        return prefetch_iter(blocks)
 
     budget = int(memory_gb * 1024**3) if memory_gb is not None else None
     spill_base = None

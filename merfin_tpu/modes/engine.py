@@ -45,6 +45,43 @@ def zero_hist_state():
             jnp.int64(0), jnp.int64(0), jnp.int64(0))
 
 
+def pack_group(seqs, k: int, chunk: int, rows: int, capacity: int):
+    """Pack small sequences into batch rows with a segment-id plane.
+
+    Shared by the single-device and sharded engines' hist_group /
+    dump_group: codes with k-1 separators, seg id per window start
+    (SEG_MAX = none), chunked into [rows, chunk + k - 1].  Returns
+    (codes_b, seg_b, starts) where starts[i] is sequence i's stream
+    offset (== the row-major [rows, chunk] flat index of its first
+    window).
+    """
+    assert len(seqs) <= SEG_MAX
+
+    total = sum(c.shape[0] + k - 1 for c in seqs)
+    stream = np.full(total, PAD_CODE, dtype=np.uint8)
+    n_pos = max(0, total - k + 1)
+    seg_win = np.full(n_pos, SEG_MAX, dtype=np.int32)
+    starts = []
+    pos = 0
+    for i, c in enumerate(seqs):
+        stream[pos: pos + c.shape[0]] = c
+        starts.append(pos)
+        nwin = c.shape[0] - k + 1
+        if nwin > 0:
+            seg_win[pos: pos + nwin] = i
+        pos += c.shape[0] + k - 1
+    assert n_pos <= capacity
+
+    codes_b = np.full((rows, chunk + k - 1), PAD_CODE, dtype=np.uint8)
+    seg_b = np.full((rows, chunk), SEG_MAX, dtype=np.int32)
+    for row, start in enumerate(range(0, n_pos, chunk)):
+        piece = stream[start: start + chunk + k - 1]
+        codes_b[row, : piece.shape[0]] = piece
+        sw = seg_win[start: start + chunk]
+        seg_b[row, : sw.shape[0]] = sw
+    return codes_b, seg_b, starts
+
+
 def fold_hist_state(state, out):
     """Fold one hist-chunk output tuple into the running state."""
     import jax.numpy as jnp
@@ -266,40 +303,8 @@ class KstarEngine:
                 overflow, fallbacks)
 
     def _pack_group(self, seqs):
-        """Pack small sequences into batch rows with a segment-id plane.
-
-        Shared by hist_group and dump_group: codes with k-1 separators,
-        seg id per window start (SEG_MAX = none), chunked into
-        [B, C + k - 1] rows.  Returns (codes_b, seg_b, starts) where
-        starts[i] is sequence i's stream offset (== the row-major [B, C]
-        flat index of its first window).
-        """
-        k, C, B = self.k, self.chunk, self.batch
-        assert len(seqs) <= SEG_MAX
-
-        total = sum(c.shape[0] + k - 1 for c in seqs)
-        stream = np.full(total, PAD_CODE, dtype=np.uint8)
-        n_pos = max(0, total - k + 1)
-        seg_win = np.full(n_pos, SEG_MAX, dtype=np.int32)
-        starts = []
-        pos = 0
-        for i, c in enumerate(seqs):
-            stream[pos: pos + c.shape[0]] = c
-            starts.append(pos)
-            nwin = c.shape[0] - k + 1
-            if nwin > 0:
-                seg_win[pos: pos + nwin] = i
-            pos += c.shape[0] + k - 1
-        assert n_pos <= self.group_capacity
-
-        codes_b = np.full((B, C + k - 1), PAD_CODE, dtype=np.uint8)
-        seg_b = np.full((B, C), SEG_MAX, dtype=np.int32)
-        for row, start in enumerate(range(0, n_pos, C)):
-            piece = stream[start: start + C + k - 1]
-            codes_b[row, : piece.shape[0]] = piece
-            sw = seg_win[start: start + C]
-            seg_b[row, : sw.shape[0]] = sw
-        return codes_b, seg_b, starts
+        return pack_group(seqs, self.k, self.chunk, self.batch,
+                          self.group_capacity)
 
     def hist_group(self, seqs):
         """-hist for a PACKED group of small sequences (one dispatch).

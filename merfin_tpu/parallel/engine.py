@@ -13,8 +13,10 @@ from __future__ import annotations
 import numpy as np
 
 from merfin_tpu.config import ensure_x64
-from merfin_tpu.modes.engine import NBINS, PAD_CODE, SeqStats
+from merfin_tpu.modes.engine import (NBINS, PAD_CODE, SEG_MAX, SeqStats,
+                                     pack_group)
 from merfin_tpu.parallel.multichip import (make_hist_step, make_dump_step,
+                                           make_hist_group_step,
                                            zero_hist_state)
 from merfin_tpu.parallel.sharded import (ShardedLookup, mesh_spans_hosts,
                                          put_global)
@@ -50,6 +52,9 @@ class ShardedKstarEngine:
         self._asm_lookup = asm_lookup
         self._step = make_hist_step(mesh, read_lookup, asm_lookup, k, self.value_map)
         self._dump_step = None   # built on first dump_sequence call
+        self._group_step = None  # built on first hist_group call
+        # packed-group capacity: one batch = one chunk row per "d" shard
+        self.group_capacity = self.data * self.chunk
         self._spec = P("d", None)
         self._sharding = NamedSharding(mesh, self._spec)
         # True when the mesh spans processes: the table is split across
@@ -101,6 +106,31 @@ class ShardedKstarEngine:
         undr += np.asarray(uh)
         over += np.asarray(oh)
         return stats, undr, over
+
+    def hist_group(self, seqs):
+        """-hist for a PACKED group of small sequences over the mesh —
+        same contract as KstarEngine.hist_group (run_hist's fragmented-
+        assembly packing works identically on the sharded engine)."""
+        if self._group_step is None:
+            self._group_step = make_hist_group_step(
+                self.mesh, self._read_lookup, self._asm_lookup,
+                self.k, self.value_map)
+        codes_b, seg_b, _ = pack_group(seqs, self.k, self.chunk,
+                                       self.data, self.group_capacity)
+        (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
+         overflow, fallbacks) = self._group_step(
+            self._put(codes_b), self._put(seg_b))
+        self.overflow_values += int(overflow)
+        self.bin_fallbacks += int(fallbacks)
+        if int(max_idx) >= NBINS:
+            raise RuntimeError(
+                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
+                "increase merfin_tpu.modes.engine.NBINS")
+        kasm_seg = np.asarray(kasm_seg)
+        kmis_seg = np.asarray(kmis_seg)
+        stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
+                 for i in range(len(seqs))]
+        return stats, np.asarray(uh), np.asarray(oh), float(kover)
 
     @staticmethod
     def _local_rows(arr):

@@ -135,6 +135,101 @@ def make_hist_step(
     return run
 
 
+def make_hist_group_step(
+    mesh,
+    read_lookup: ShardedLookup,
+    asm_lookup: ShardedLookup,
+    k: int,
+    value_map,
+    bin_table=None,
+):
+    """Packed-group -hist over the mesh: codes [B, C + k - 1] and seg
+    [B, C] sharded over "d" -> replicated (kasm_seg[SEG_MAX],
+    kmis_seg[SEG_MAX], kover, undr, over, max_idx, overflow, fallbacks)
+    — the fragmented-assembly packing (modes/engine.py:hist_group) on
+    the sharded table."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from merfin_tpu.modes.engine import SEG_MAX
+    from merfin_tpu.score.bin_table import BinTable
+
+    bin_table = bin_table or BinTable()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("t", None), P("t", None),
+            P("t", None), P("t", None),
+            P(), P(), P(), P(),
+            P("d", None), P("d", None),
+        ),
+        out_specs=(P(),) * 8,
+    )
+    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
+             undr_t, over_t, codes, seg):
+        fmer, rmer, valid = kmer_windows(codes, k)
+        canon, mult = canonical_and_mult(fmer, rmer)
+
+        read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
+        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
+        read_v = read_v.astype(jnp.uint64) * mult
+        asm_v = asm_v.astype(jnp.uint64) * mult
+
+        read_k, prob, overflow = value_map.lookup_jnp(read_v, (rk_map, pr_map))
+        asm_k = asm_v.astype(jnp.float64)
+        read_k = jnp.where(valid, read_k, 0.0)
+        asm_k = jnp.where(valid, asm_k, 0.0)
+
+        missing = valid & (read_k == 0)
+        is_undr = valid & (read_k > 0) & (asm_k > read_k)
+        is_over = valid & (read_k > 0) & ~is_undr
+
+        seg_eff = jnp.where(valid, seg, SEG_MAX)
+        kasm_seg = jnp.bincount(seg_eff.reshape(-1),
+                                length=SEG_MAX + 1)[:SEG_MAX]
+        seg_mis = jnp.where(missing, seg, SEG_MAX)
+        kmis_seg = jnp.bincount(seg_mis.reshape(-1),
+                                length=SEG_MAX + 1)[:SEG_MAX]
+
+        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+
+        undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
+            read_k, asm_k, (undr_t, over_t))
+        fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
+        max_idx = jnp.maximum(
+            jnp.max(jnp.where(is_undr, undr_idx, 0)),
+            jnp.max(jnp.where(is_over, over_idx, 0)),
+        )
+        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
+        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
+        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+
+        return (jax.lax.psum(kasm_seg, "d"), jax.lax.psum(kmis_seg, "d"),
+                jax.lax.psum(kover, "d"), jax.lax.psum(undr_hist, "d"),
+                jax.lax.psum(over_hist, "d"), jax.lax.pmax(max_idx, "d"),
+                jax.lax.psum(overflow, "d"), jax.lax.psum(fallbacks, "d"))
+
+    rk_dev = jnp.asarray(value_map.read_k_host)
+    pr_dev = jnp.asarray(value_map.prob_host)
+    undr_dev, over_dev = bin_table.device_arrays()
+
+    # table as jit args (host-spanning shards are non-addressable)
+    jrun = jax.jit(lambda rk_k, rk_v, as_k, as_v, codes, seg: step(
+        rk_k, rk_v, as_k, as_v, rk_dev, pr_dev, undr_dev, over_dev,
+        codes, seg))
+
+    def run(codes, seg):
+        return jrun(read_lookup.keys, read_lookup.vals,
+                    asm_lookup.keys, asm_lookup.vals, codes, seg)
+
+    return run
+
+
 def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):
     """Build a jitted -completeness step: read-DB rows (keys, vals, mask)
     [D, B] sharded over "d", assembly table sharded over "t" ->

@@ -46,3 +46,40 @@ def test_sharded_hist_end_to_end(tmp_path):
 
     assert res1 == res2
     assert (tmp_path / "one.hist").read_text() == (tmp_path / "multi.hist").read_text()
+
+
+def test_sharded_hist_grouped_fragments(tmp_path):
+    """Fragmented assembly through the SHARDED engine's packed-group
+    path == single-device grouped path (hist file + per-seq results)."""
+    rng = random.Random(5)
+    seqs = [random_dna(rng, rng.randint(30, 150), with_n=0.02)
+            for _ in range(25)]
+    read_db = db_from_dict(refmodel.count_canonical(seqs + seqs[:5], K),
+                           K, str(tmp_path / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical(seqs, K), K,
+                          str(tmp_path / "a"))
+    fasta = tmp_path / "frag.fasta"
+    with open(fasta, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">f{i}\n{s}\n")
+
+    single = KstarEngine(build_lookup(read_db), build_lookup(asm_db),
+                         K, 3.0, chunk=512, batch=2)
+    log1 = io.StringIO()
+    res1 = run_hist(single, SeqFile(str(fasta)), str(tmp_path / "s.hist"),
+                    log=log1)
+
+    mesh = make_mesh(8, data=2)
+    sharded = ShardedKstarEngine(
+        mesh, ShardedLookup.build(read_db, mesh),
+        ShardedLookup.build(asm_db, mesh), K, 3.0, chunk=512)
+    assert sharded.group_capacity == 2 * 512
+    log2 = io.StringIO()
+    res2 = run_hist(sharded, SeqFile(str(fasta)), str(tmp_path / "m.hist"),
+                    log=log2)
+
+    assert res1 == res2
+    assert (tmp_path / "s.hist").read_text() == (tmp_path / "m.hist").read_text()
+    l1 = [l for l in log1.getvalue().splitlines() if l.startswith("f") and "\t" in l]
+    l2 = [l for l in log2.getvalue().splitlines() if l.startswith("f") and "\t" in l]
+    assert l1 == l2 and len(l1) == 25
