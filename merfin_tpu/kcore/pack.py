@@ -94,3 +94,27 @@ def kmers_from_codes_np(
 def canonical_np(fmer: np.ndarray, rmer: np.ndarray) -> np.ndarray:
     """Canonical representation: min(fmer, rmer)."""
     return np.minimum(fmer, rmer)
+
+
+def pack_transfer_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack uint8 codes for the host->device link: 2-bit base planes plus
+    a validity bitmask (3 bits/base instead of 8 — 2.7x less input
+    bandwidth per dispatch).
+
+    codes: uint8 [..., L] with 0-3 = ACGT and >=4 invalid.
+    Returns (planes uint8 [..., ceil(L/4)] — 4 bases/byte, LSB-first;
+    vbits uint8 [..., ceil(L/8)] — 1 validity bit/base, LSB-first).
+    The device inverse is merfin_tpu.ops.kmer_ops.unpack_transfer.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    L = codes.shape[-1]
+    p4 = (L + 3) // 4
+    c = np.where(codes < 4, codes, 0).astype(np.uint8)
+    if p4 * 4 != L:
+        pad = np.zeros(codes.shape[:-1] + (p4 * 4 - L,), np.uint8)
+        c = np.concatenate([c, pad], axis=-1)
+    c = c.reshape(codes.shape[:-1] + (p4, 4))
+    planes = (c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
+              | (c[..., 3] << 6)).astype(np.uint8)
+    vbits = np.packbits(codes < 4, axis=-1, bitorder="little")
+    return planes, vbits

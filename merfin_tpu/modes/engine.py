@@ -82,6 +82,29 @@ def pack_group(seqs, k: int, chunk: int, rows: int, capacity: int):
     return codes_b, seg_b, starts
 
 
+def pack_group_transfer(seqs, k: int, chunk: int, rows: int, capacity: int):
+    """pack_group + host->device transfer packing.
+
+    Returns (planes, vbits, marks_bits, base, starts): the 2-bit code
+    planes + validity bitmask (kcore.pack.pack_transfer_np) and the seg
+    plane reduced to a boundary-mark bitmask + per-row mark-count offsets
+    (ops.kmer_ops.seg_from_marks reconstructs seg on device) — ~10x
+    fewer input bytes per packed-group dispatch than (codes, seg int32).
+    """
+    from merfin_tpu.kcore.pack import pack_transfer_np
+
+    codes_b, _, starts = pack_group(seqs, k, chunk, rows, capacity)
+    planes, vbits = pack_transfer_np(codes_b)
+    flat = np.zeros(rows * chunk, np.uint8)
+    idx = np.asarray(starts, dtype=np.int64)
+    flat[idx[idx < flat.shape[0]]] = 1   # marks past the stream end mark
+    marks = flat.reshape(rows, chunk)    # nothing (no windows there)
+    base = np.zeros(rows, np.int64)
+    base[1:] = np.cumsum(marks.sum(axis=1, dtype=np.int64))[:-1]
+    marks_bits = np.packbits(marks, axis=-1, bitorder="little")
+    return planes, vbits, marks_bits, base.astype(np.int32), starts
+
+
 def fold_hist_state(state, out):
     """Fold one hist-chunk output tuple into the running state."""
     import jax.numpy as jnp
@@ -106,6 +129,7 @@ class KstarEngine:
         batch: int = 4,
         max_value: int | None = None,
         sortjoin: bool = False,
+        pack_transfer: bool = True,
     ):
         ensure_x64()
         import jax
@@ -157,10 +181,23 @@ class KstarEngine:
         # The hist step ACCUMULATES into a device-resident state (donated
         # buffers): the host loop never syncs mid-sequence, so dispatches
         # pipeline instead of round-tripping per batch.
-        self._hist_step_impl = jax.jit(self._hist_chunk_acc, donate_argnums=0)
-        self._hist_group_impl = jax.jit(self._hist_group_chunk)
-        self._dump_step_impl = jax.jit(self._dump_chunk)
-        self._dump_group_impl = jax.jit(self._dump_group_chunk)
+        # Transfer packing (pack_transfer, the default): codes cross the
+        # host->device link as 2-bit planes + validity bits (2.7x fewer
+        # input bytes) and group seg planes as boundary-mark bitmasks
+        # (32x) — the device programs unpack first, bit-exactly.
+        self.pack_transfer = bool(pack_transfer)
+        if self.pack_transfer:
+            self._hist_step_impl = jax.jit(self._hist_chunk_acc_packed,
+                                           donate_argnums=0)
+            self._hist_group_impl = jax.jit(self._hist_group_chunk_packed)
+            self._dump_step_impl = jax.jit(self._dump_chunk_packed)
+            self._dump_group_impl = jax.jit(self._dump_group_chunk_packed)
+        else:
+            self._hist_step_impl = jax.jit(self._hist_chunk_acc,
+                                           donate_argnums=0)
+            self._hist_group_impl = jax.jit(self._hist_group_chunk)
+            self._dump_step_impl = jax.jit(self._dump_chunk)
+            self._dump_group_impl = jax.jit(self._dump_group_chunk)
         # packed-group capacity (positions) for fragmented assemblies
         self.group_capacity = self.batch * self.chunk
 
@@ -172,6 +209,13 @@ class KstarEngine:
         return tables + (self.value_map.device_arrays(),)
 
     def _hist_step(self, state, codes):
+        if self.pack_transfer:
+            from merfin_tpu.kcore.pack import pack_transfer_np
+
+            planes, vbits = pack_transfer_np(codes)
+            return self._hist_step_impl(state, planes, vbits,
+                                        *self._step_args(),
+                                        self.bin_table.device_arrays())
         return self._hist_step_impl(state, codes, *self._step_args(),
                                     self.bin_table.device_arrays())
 
@@ -180,6 +224,13 @@ class KstarEngine:
 
     def _dump_step(self, codes):
         # dump always uses the gather tables (it needs positional output)
+        if self.pack_transfer:
+            from merfin_tpu.kcore.pack import pack_transfer_np
+
+            planes, vbits = pack_transfer_np(codes)
+            return self._dump_step_impl(
+                planes, vbits, self.read_lookup.tree(),
+                self.asm_lookup.tree(), self.value_map.device_arrays())
         return self._dump_step_impl(
             codes, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays())
@@ -306,6 +357,48 @@ class KstarEngine:
         return pack_group(seqs, self.k, self.chunk, self.batch,
                           self.group_capacity)
 
+    def _unpack(self, planes, vbits):
+        from merfin_tpu.ops.kmer_ops import unpack_transfer
+
+        return unpack_transfer(planes, vbits, self.chunk + self.k - 1)
+
+    def _hist_chunk_acc_packed(self, state, planes, vbits,
+                               r_tree, a_tree, vm, bins):
+        return fold_hist_state(
+            state, self._hist_chunk(self._unpack(planes, vbits),
+                                    r_tree, a_tree, vm, bins))
+
+    def _dump_chunk_packed(self, planes, vbits, r_tree, a_tree, vm):
+        return self._dump_chunk(self._unpack(planes, vbits),
+                                r_tree, a_tree, vm)
+
+    def _hist_group_chunk_packed(self, planes, vbits, marks, base,
+                                 r_tree, a_tree, vm, bins):
+        from merfin_tpu.ops.kmer_ops import seg_from_marks
+
+        return self._hist_group_chunk(
+            self._unpack(planes, vbits),
+            seg_from_marks(marks, base, self.chunk),
+            r_tree, a_tree, vm, bins)
+
+    def _dump_group_chunk_packed(self, planes, vbits, marks, base,
+                                 r_tree, a_tree, vm):
+        from merfin_tpu.ops.kmer_ops import seg_from_marks
+
+        return self._dump_group_chunk(
+            self._unpack(planes, vbits),
+            seg_from_marks(marks, base, self.chunk),
+            r_tree, a_tree, vm)
+
+    def _group_inputs(self, seqs):
+        """Transfer arrays for one packed group + per-seq starts."""
+        if self.pack_transfer:
+            planes, vbits, marks, base, starts = pack_group_transfer(
+                seqs, self.k, self.chunk, self.batch, self.group_capacity)
+            return (planes, vbits, marks, base), starts
+        codes_b, seg_b, starts = self._pack_group(seqs)
+        return (codes_b, seg_b), starts
+
     def hist_group(self, seqs):
         """-hist for a PACKED group of small sequences (one dispatch).
 
@@ -317,11 +410,11 @@ class KstarEngine:
         needs only kasm/kmissing.
         """
         n_seq = len(seqs)
-        codes_b, seg_b, _ = self._pack_group(seqs)
+        inputs, _ = self._group_inputs(seqs)
 
         (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
          overflow, fallbacks) = self._hist_group_impl(
-            codes_b, seg_b, self.read_lookup.tree(), self.asm_lookup.tree(),
+            *inputs, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays(), self.bin_table.device_arrays())
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
@@ -360,10 +453,10 @@ class KstarEngine:
         from merfin_tpu.score.kstar import k_metric_np
 
         k = self.k
-        codes_b, seg_b, starts = self._pack_group(seqs)
+        inputs, starts = self._group_inputs(seqs)
 
         rk, ak, kasm_seg, kmis_seg, overflow = self._dump_group_impl(
-            codes_b, seg_b, self.read_lookup.tree(), self.asm_lookup.tree(),
+            *inputs, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays())
         self.overflow_values += int(overflow)
         rk = np.asarray(rk).reshape(-1)   # window at stream pos p -> p

@@ -40,6 +40,41 @@ def kmer_windows(codes, k: int):
     return fmer, rmer, ~bad_any
 
 
+def unpack_transfer(planes, vbits, L: int):
+    """Device inverse of kcore.pack.pack_transfer_np.
+
+    planes: uint8 [..., ceil(L/4)] (4 bases/byte, LSB-first);
+    vbits: uint8 [..., ceil(L/8)] (1 validity bit/base, LSB-first).
+    Returns codes uint8 [..., L] with invalid bases restored to 4 —
+    bit-exact with the unpacked transfer, just 2.7x fewer input bytes
+    over the host->device link.
+    """
+    csh = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    c = (planes[..., :, None] >> csh) & jnp.uint8(3)
+    c = c.reshape(planes.shape[:-1] + (planes.shape[-1] * 4,))[..., :L]
+    vsh = jnp.arange(8, dtype=jnp.uint8)
+    v = (vbits[..., :, None] >> vsh) & jnp.uint8(1)
+    v = v.reshape(vbits.shape[:-1] + (vbits.shape[-1] * 8,))[..., :L]
+    return jnp.where(v == 1, c, jnp.uint8(4))
+
+
+def seg_from_marks(marks_bits, base, C: int):
+    """Reconstruct per-window segment ids from boundary marks.
+
+    marks_bits: uint8 [..., ceil(C/8)] — bit p set when a sequence's
+    first window sits at window-position p of the row; base: int32 [...]
+    — number of marks in earlier rows (the flat-stream cumsum offset).
+    Returns seg int32 [..., C]: the id of the last sequence started at or
+    before each position.  Valid windows always lie inside a sequence, so
+    masking by the k-mer validity plane yields exactly the seg plane
+    pack_group builds — at 1/32 the transfer bytes.
+    """
+    vsh = jnp.arange(8, dtype=jnp.uint8)
+    m = (marks_bits[..., :, None] >> vsh) & jnp.uint8(1)
+    m = m.reshape(marks_bits.shape[:-1] + (marks_bits.shape[-1] * 8,))[..., :C]
+    return base[..., None] + jnp.cumsum(m.astype(jnp.int32), axis=-1) - 1
+
+
 def canonical_and_mult(fmer, rmer):
     """Canonical mer and the fmer+rmer lookup multiplier.
 

@@ -23,7 +23,8 @@ from functools import partial
 import numpy as np
 
 from merfin_tpu.modes.engine import NBINS, fold_hist_state, zero_hist_state  # noqa: F401  (zero_hist_state re-exported for step callers)
-from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
+from merfin_tpu.ops.kmer_ops import (kmer_windows, canonical_and_mult,
+                                     unpack_transfer, seg_from_marks)
 from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
 
 
@@ -34,6 +35,7 @@ def make_hist_step(
     k: int,
     value_map,
     bin_table=None,
+    pack_chunk: int | None = None,
 ):
     """Build a jitted step: codes uint8 [B, C + k - 1] (B sharded over
     "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS],
@@ -43,6 +45,11 @@ def make_hist_step(
     the host (exact) and gathered on device; raw values above the cap use
     the counted device-float fallback (value_map.lookup_jnp), identical to
     the single-device path (modes/engine.py:_lookup_kvals).
+
+    pack_chunk: when set (= the engine's chunk C), the step takes
+    transfer-packed (planes, vbits) instead of codes (see
+    kcore.pack.pack_transfer_np) and unpacks per shard — bit-exact,
+    2.7x fewer host->device bytes.
     """
     import jax
     import jax.numpy as jnp
@@ -52,6 +59,8 @@ def make_hist_step(
     from merfin_tpu.score.bin_table import BinTable
 
     bin_table = bin_table or BinTable()
+    data_specs = (P("d", None),) if pack_chunk is None else (
+        P("d", None), P("d", None))
 
     @partial(
         shard_map,
@@ -61,12 +70,16 @@ def make_hist_step(
             P("t", None), P("t", None),   # asm table shard
             P(), P(),                     # value map (replicated)
             P(), P(),                     # bin tables (replicated)
-            P("d", None),                 # codes: chunk batch sharded on d
+            *data_specs,                  # chunk batch sharded on d
         ),
         out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
     )
     def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
-             undr_t, over_t, codes):
+             undr_t, over_t, *data):
+        if pack_chunk is None:
+            codes, = data
+        else:
+            codes = unpack_transfer(data[0], data[1], pack_chunk + k - 1)
         fmer, rmer, valid = kmer_windows(codes, k)
         canon, mult = canonical_and_mult(fmer, rmer)
 
@@ -123,14 +136,14 @@ def make_hist_step(
     # host-spanning mesh a shard may live on another process (closing
     # over a non-addressable jax.Array is an error).
     jrun = jax.jit(
-        lambda rk_k, rk_v, as_k, as_v, state, codes: fold_hist_state(
+        lambda rk_k, rk_v, as_k, as_v, state, *data: fold_hist_state(
             state, step(rk_k, rk_v, as_k, as_v,
-                        rk_dev, pr_dev, undr_dev, over_dev, codes)),
+                        rk_dev, pr_dev, undr_dev, over_dev, *data)),
         donate_argnums=4)
 
-    def run(state, codes):
+    def run(state, *data):
         return jrun(read_lookup.keys, read_lookup.vals,
-                    asm_lookup.keys, asm_lookup.vals, state, codes)
+                    asm_lookup.keys, asm_lookup.vals, state, *data)
 
     return run
 
@@ -142,12 +155,17 @@ def make_hist_group_step(
     k: int,
     value_map,
     bin_table=None,
+    pack_chunk: int | None = None,
 ):
     """Packed-group -hist over the mesh: codes [B, C + k - 1] and seg
     [B, C] sharded over "d" -> replicated (kasm_seg[SEG_MAX],
     kmis_seg[SEG_MAX], kover, undr, over, max_idx, overflow, fallbacks)
     — the fragmented-assembly packing (modes/engine.py:hist_group) on
-    the sharded table."""
+    the sharded table.
+
+    pack_chunk (= C): the step takes transfer-packed (planes, vbits,
+    marks_bits, base) from modes.engine.pack_group_transfer instead of
+    (codes, seg) — bit-exact, ~10x fewer host->device bytes."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -157,6 +175,8 @@ def make_hist_group_step(
     from merfin_tpu.score.bin_table import BinTable
 
     bin_table = bin_table or BinTable()
+    data_specs = (P("d", None), P("d", None)) if pack_chunk is None else (
+        P("d", None), P("d", None), P("d", None), P("d"))
 
     @partial(
         shard_map,
@@ -165,12 +185,17 @@ def make_hist_group_step(
             P("t", None), P("t", None),
             P("t", None), P("t", None),
             P(), P(), P(), P(),
-            P("d", None), P("d", None),
+            *data_specs,
         ),
         out_specs=(P(),) * 8,
     )
     def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
-             undr_t, over_t, codes, seg):
+             undr_t, over_t, *data):
+        if pack_chunk is None:
+            codes, seg = data
+        else:
+            codes = unpack_transfer(data[0], data[1], pack_chunk + k - 1)
+            seg = seg_from_marks(data[2], data[3], pack_chunk)
         fmer, rmer, valid = kmer_windows(codes, k)
         canon, mult = canonical_and_mult(fmer, rmer)
 
@@ -219,13 +244,13 @@ def make_hist_group_step(
     undr_dev, over_dev = bin_table.device_arrays()
 
     # table as jit args (host-spanning shards are non-addressable)
-    jrun = jax.jit(lambda rk_k, rk_v, as_k, as_v, codes, seg: step(
+    jrun = jax.jit(lambda rk_k, rk_v, as_k, as_v, *data: step(
         rk_k, rk_v, as_k, as_v, rk_dev, pr_dev, undr_dev, over_dev,
-        codes, seg))
+        *data))
 
-    def run(codes, seg):
+    def run(*data):
         return jrun(read_lookup.keys, read_lookup.vals,
-                    asm_lookup.keys, asm_lookup.vals, codes, seg)
+                    asm_lookup.keys, asm_lookup.vals, *data)
 
     return run
 
@@ -286,6 +311,7 @@ def make_dump_step(
     asm_lookup: ShardedLookup,
     k: int,
     value_map,
+    pack_chunk: int | None = None,
 ):
     """Build a jitted -dump step: codes uint8 [B, C + k - 1] (B sharded
     over "d") -> per-position (readK, asmK, K*) arrays [B, C] sharded over
@@ -295,11 +321,17 @@ def make_dump_step(
     order, so the in-order writer contract of -dump (merfin.C:384) holds.
     kasm/kmissing come back PER ROW (a batch spans several chunks of one
     sequence and the writer needs per-chunk counts).
+
+    pack_chunk: when set (= C), takes transfer-packed (planes, vbits)
+    instead of codes — bit-exact, 2.7x fewer host->device bytes.
     """
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
+
+    data_specs = (P("d", None),) if pack_chunk is None else (
+        P("d", None), P("d", None))
 
     @partial(
         shard_map,
@@ -308,12 +340,16 @@ def make_dump_step(
             P("t", None), P("t", None),
             P("t", None), P("t", None),
             P(), P(),
-            P("d", None),
+            *data_specs,
         ),
         out_specs=(P("d", None), P("d", None),
                    P("d"), P("d"), P()),
     )
-    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map, codes):
+    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map, *data):
+        if pack_chunk is None:
+            codes, = data
+        else:
+            codes = unpack_transfer(data[0], data[1], pack_chunk + k - 1)
         fmer, rmer, valid = kmer_windows(codes, k)
         canon, mult = canonical_and_mult(fmer, rmer)
 
@@ -339,11 +375,11 @@ def make_dump_step(
     pr_dev = jnp.asarray(value_map.prob_host)
 
     # table as jit args (host-spanning shards are non-addressable)
-    jrun = jax.jit(lambda rk_k, rk_v, as_k, as_v, codes: step(
-        rk_k, rk_v, as_k, as_v, rk_dev, pr_dev, codes))
+    jrun = jax.jit(lambda rk_k, rk_v, as_k, as_v, *data: step(
+        rk_k, rk_v, as_k, as_v, rk_dev, pr_dev, *data))
 
-    def run(codes):
+    def run(*data):
         return jrun(read_lookup.keys, read_lookup.vals,
-                    asm_lookup.keys, asm_lookup.vals, codes)
+                    asm_lookup.keys, asm_lookup.vals, *data)
 
     return run
