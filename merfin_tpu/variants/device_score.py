@@ -37,19 +37,36 @@ class DeviceScorer:
         self.asm_lookup = asm_lookup
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
         self.overflow_values = 0
-        self._impl = jax.jit(self._score_stream)
+        self._impl = jax.jit(self._score_stream, static_argnums=0)
 
-    def _score_stream(self, r_tree, a_tree, vm, codes, adjust, path_start):
-        """codes u8 [N + k - 1] (packed paths, k-1 separators) ->
-        (kstr [N], dkstr [N], overflow).
+    def _score_stream(self, n, r_tree, a_tree, vm, planes, vbits,
+                      adj_bits, mark_bits):
+        """Transfer-packed path stream -> (kstr [n], dkstr [n], overflow).
 
-        path_start[i] = flat index of the path containing window i's
-        first window (separators make cross-path windows invalid, so it
-        only gates the prob forward-fill).  Mirrors
-        score._scores_batched exactly (tested for equality on CPU).
+        planes/vbits: 2-bit codes + validity of the packed path stream
+        (kcore.pack.pack_transfer_np of codes u8 [n + k - 1], paths
+        separated by k-1 invalid bases); adj_bits: new-kmer adjustment
+        bitmask [ceil(n/8)]; mark_bits: path-start marks — window i
+        starts a path's region.  The flat path_start plane (int64,
+        8B/window on the wire) is reconstructed as a device cummax over
+        the marks; with the 2-bit codes this is ~16x fewer input bytes.
+        Mirrors score._scores_batched exactly (tested on CPU).
         """
         import jax
         import jax.numpy as jnp
+
+        from merfin_tpu.ops.kmer_ops import unpack_transfer
+
+        codes = unpack_transfer(planes, vbits, n + self.k - 1)
+        bsh = jnp.arange(8, dtype=jnp.uint8)
+        adjust = ((adj_bits[:, None] >> bsh) & jnp.uint8(1)
+                  ).reshape(-1)[:n].astype(bool)
+        mk = ((mark_bits[:, None] >> bsh) & jnp.uint8(1)).reshape(-1)[:n]
+        midx = jnp.arange(n, dtype=jnp.int64)
+        # path_start[i] = index of the last mark at or before i; windows
+        # in the tail padding (no further marks) inherit the last path's
+        # start, but their outputs are sliced off by the caller
+        path_start = jax.lax.cummax(jnp.where(mk == 1, midx, jnp.int64(-1)))
 
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
@@ -81,6 +98,8 @@ class DeviceScorer:
     def score_stream(self, codes: np.ndarray, adjust: np.ndarray,
                      path_start: np.ndarray):
         """Numpy-in/numpy-out; pads to a power of two for shape reuse."""
+        from merfin_tpu.kcore.pack import pack_transfer_np
+
         k = self.k
         n = max(0, codes.shape[0] - k + 1)
         if n == 0:
@@ -88,13 +107,16 @@ class DeviceScorer:
         p = max(4096, 1 << (n - 1).bit_length())
         codes_p = np.full(p + k - 1, 4, dtype=np.uint8)
         codes_p[: codes.shape[0]] = codes
+        planes, vbits = pack_transfer_np(codes_p)
         adj_p = np.zeros(p, dtype=bool)
         adj_p[:n] = adjust[:n]
-        ps_p = np.full(p, np.iinfo(np.int64).max, dtype=np.int64)
-        ps_p[:n] = path_start[:n]
+        marks = np.zeros(p, dtype=bool)
+        marks[:n] = path_start[:n] == np.arange(n, dtype=np.int64)
         kstr, dkstr, overflow = self._impl(
-            self.read_lookup.tree(), self.asm_lookup.tree(),
-            self.value_map.device_arrays(), codes_p, adj_p, ps_p)
+            p, self.read_lookup.tree(), self.asm_lookup.tree(),
+            self.value_map.device_arrays(), planes, vbits,
+            np.packbits(adj_p, bitorder="little"),
+            np.packbits(marks, bitorder="little"))
         self.overflow_values += int(overflow)
         with np.errstate(all="ignore"):
             return (np.asarray(kstr)[:n], np.asarray(dkstr)[:n])

@@ -244,8 +244,22 @@ def score_path_groups(
         fmer, rmer, s_valid = kmers_from_codes_np(stream, k)
         canon = np.minimum(fmer, rmer)
         mult_all = np.where(fmer == rmer, 2, 1).astype(np.uint64)
-        read_all = np.asarray(lookup_read(canon), dtype=np.uint64) * mult_all
-        asm_all = np.asarray(lookup_asm(canon), dtype=np.uint64) * mult_all
+        # Candidate paths overlap heavily (REF/ALT rewrites of the same
+        # window share every k-mer away from the edit), so dedup the
+        # query stream before the device dispatch: the table probes and
+        # the host->device transfer shrink by the redundancy factor
+        # (2-10x typical; 2^n-path multiallelic clusters much more).
+        if canon.size > 4096:
+            uq, inv = np.unique(canon, return_inverse=True)
+            read_all = np.asarray(
+                lookup_read(uq), dtype=np.uint64)[inv] * mult_all
+            asm_all = np.asarray(
+                lookup_asm(uq), dtype=np.uint64)[inv] * mult_all
+        else:
+            read_all = np.asarray(
+                lookup_read(canon), dtype=np.uint64) * mult_all
+            asm_all = np.asarray(
+                lookup_asm(canon), dtype=np.uint64) * mult_all
     else:
         read_all = asm_all = np.zeros(0, np.uint64)
         s_valid = np.zeros(0, bool)
