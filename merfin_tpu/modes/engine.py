@@ -105,6 +105,27 @@ def pack_group_transfer(seqs, k: int, chunk: int, rows: int, capacity: int):
     return planes, vbits, marks_bits, base.astype(np.int32), starts
 
 
+def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over):
+    """The two k* histograms via ONE device sort + boundary search.
+
+    jnp.bincount lowers to scatter-add, which costs ~10x a sort on this
+    TPU (measured: 291 ms vs ~30 ms per 2.1M-window dispatch, see
+    docs/PERF.md).  Windows are undr XOR over XOR neither, so both
+    histograms pack into one composite index space [0, 2*NBINS]:
+    sort it, then bin counts are differences of searchsorted boundaries.
+    """
+    import jax.numpy as jnp
+
+    comp = jnp.where(
+        is_undr, jnp.clip(undr_idx, 0, NBINS - 1),
+        jnp.where(is_over, NBINS + jnp.clip(over_idx, 0, NBINS - 1),
+                  2 * NBINS))
+    s = jnp.sort(comp.reshape(-1).astype(jnp.int32))
+    bounds = jnp.searchsorted(s, jnp.arange(2 * NBINS + 1, dtype=jnp.int32))
+    counts = jnp.diff(bounds).astype(jnp.int64)
+    return counts[:NBINS], counts[NBINS: 2 * NBINS]
+
+
 def fold_hist_state(state, out):
     """Fold one hist-chunk output tuple into the running state."""
     import jax.numpy as jnp
@@ -305,11 +326,8 @@ class KstarEngine:
             jnp.max(jnp.where(is_undr, undr_idx, 0)),
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
-        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
-        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
-
-        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
-        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        undr_hist, over_hist = two_hist_by_sort(
+            undr_idx, over_idx, is_undr, is_over)
         return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 
@@ -346,10 +364,8 @@ class KstarEngine:
             jnp.max(jnp.where(is_undr, undr_idx, 0)),
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
-        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
-        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
-        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
-        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        undr_hist, over_hist = two_hist_by_sort(
+            undr_idx, over_idx, is_undr, is_over)
         return (kasm_seg, kmis_seg, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 

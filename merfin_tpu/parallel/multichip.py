@@ -22,7 +22,8 @@ from functools import partial
 
 import numpy as np
 
-from merfin_tpu.modes.engine import NBINS, fold_hist_state, zero_hist_state  # noqa: F401  (zero_hist_state re-exported for step callers)
+from merfin_tpu.modes.engine import (NBINS, fold_hist_state,  # noqa: F401  (zero_hist_state re-exported for step callers)
+                                     two_hist_by_sort, zero_hist_state)
 from merfin_tpu.ops.kmer_ops import (kmer_windows, canonical_and_mult,
                                      unpack_transfer, seg_from_marks)
 from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
@@ -108,10 +109,8 @@ def make_hist_step(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
-        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
-        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
-        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
-        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        undr_hist, over_hist = two_hist_by_sort(
+            undr_idx, over_idx, is_undr, is_over)
 
         # Merge the data-parallel partials.  After the value psum over
         # "t", every t-shard of a d-row computed identical partials, so a
@@ -229,10 +228,8 @@ def make_hist_group_step(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
-        undr_idx = jnp.where(is_undr, jnp.clip(undr_idx, 0, NBINS - 1), NBINS)
-        over_idx = jnp.where(is_over, jnp.clip(over_idx, 0, NBINS - 1), NBINS)
-        undr_hist = jnp.bincount(undr_idx.reshape(-1), length=NBINS + 1)[:NBINS]
-        over_hist = jnp.bincount(over_idx.reshape(-1), length=NBINS + 1)[:NBINS]
+        undr_hist, over_hist = two_hist_by_sort(
+            undr_idx, over_idx, is_undr, is_over)
 
         return (jax.lax.psum(kasm_seg, "d"), jax.lax.psum(kmis_seg, "d"),
                 jax.lax.psum(kover, "d"), jax.lax.psum(undr_hist, "d"),
