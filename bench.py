@@ -53,13 +53,18 @@ def _bench_join(keys, vals, k, q_np, iters=10):
 
 
 def _bench_hist(keys, read_vals, asm_vals, k):
-    """End-to-end -hist engine rate (bases/s) on a synthetic chunk set."""
+    """End-to-end -hist engine rate (bases/s) on a synthetic chunk set,
+    in the CLI's production configuration (sorted-join auto-enabled on
+    accelerators for odd k, cli.py:make_engine)."""
+    import jax
+
     from merfin_tpu.modes.engine import KstarEngine
     from merfin_tpu.table.lookup import DeviceLookup
 
+    sortjoin = jax.default_backend() != "cpu" and k % 2 == 1
     engine = KstarEngine(DeviceLookup(keys, read_vals, k),
                          DeviceLookup(keys, asm_vals, k),
-                         k, peak=12.0, chunk=1 << 19, batch=4)
+                         k, peak=12.0, chunk=1 << 19, sortjoin=sortjoin)
     rng = np.random.default_rng(3)
     n_bases = 1 << 23
     codes = rng.integers(0, 4, size=n_bases).astype(np.uint8)

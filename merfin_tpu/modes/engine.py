@@ -126,6 +126,27 @@ def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over):
     return counts[:NBINS], counts[NBINS: 2 * NBINS]
 
 
+def seg_counts_by_sort(seg, valid, missing):
+    """Per-slot (kasm, kmissing) via one composite sort (scatter-free).
+
+    seg: window slot ids (any order — the helper sorts); valid/missing:
+    classification masks aligned with seg.  Same sort-vs-scatter trade
+    as two_hist_by_sort: two SEG_MAX+1-bin bincounts cost ~2 scatter
+    passes over the dispatch, one int32 sort costs ~1/10 of that.
+    """
+    import jax.numpy as jnp
+
+    S = SEG_MAX + 1
+    comp = jnp.where(missing, S + seg,
+                     jnp.where(valid, seg, 2 * S))
+    s = jnp.sort(comp.reshape(-1).astype(jnp.int32))
+    bounds = jnp.searchsorted(s, jnp.arange(2 * S + 1, dtype=jnp.int32))
+    c = jnp.diff(bounds)
+    kmis_seg = c[S: S + SEG_MAX].astype(jnp.int64)
+    kasm_seg = c[:SEG_MAX].astype(jnp.int64) + kmis_seg
+    return kasm_seg, kmis_seg
+
+
 def fold_hist_state(state, out):
     """Fold one hist-chunk output tuple into the running state."""
     import jax.numpy as jnp
@@ -138,6 +159,37 @@ def fold_hist_state(state, out):
             state[7] + fallbacks)
 
 
+class _JnpSortJoin:
+    """CPU stand-in for the Pallas sorted-join tables: same interface,
+    compiled jnp searchsorted probe.  Off-accelerator the Pallas kernels
+    only run in interpret mode (orders of magnitude slower, meant for
+    kernel unit tests) — this keeps -sortjoin usable and bit-exact on
+    CPU backends."""
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray):
+        import jax.numpy as jnp
+
+        self.n = int(keys.size)
+        self.keys = jnp.asarray(np.ascontiguousarray(keys, np.uint64))
+        self.vals = jnp.asarray(np.ascontiguousarray(vals, np.uint32))
+
+    def tree(self):
+        return (self.keys, self.vals)
+
+    def lookup_sorted(self, q):
+        return self.lookup_sorted_with(self.tree(), q)
+
+    def lookup_sorted_with(self, tree, q):
+        import jax.numpy as jnp
+
+        keys, vals = tree
+        if self.n == 0:
+            return jnp.zeros(q.shape, jnp.uint32)
+        idx = jnp.searchsorted(keys, q)
+        idx_c = jnp.minimum(idx, self.n - 1)
+        return jnp.where(keys[idx_c] == q, vals[idx_c], jnp.uint32(0))
+
+
 class KstarEngine:
     def __init__(
         self,
@@ -147,7 +199,7 @@ class KstarEngine:
         peak: float,
         prob_table: ProbTable | None = None,
         chunk: int = 1 << 19,
-        batch: int = 4,
+        batch: int | None = None,
         max_value: int | None = None,
         sortjoin: bool = False,
         pack_transfer: bool = True,
@@ -162,6 +214,13 @@ class KstarEngine:
         self.k = k
         self.peak = float(peak)
         self.chunk = chunk
+        # Default batch: the sorted-join path amortizes its table-stream
+        # cost over the dispatch's query count (bigger is faster: 2.0 ->
+        # 7.0 Mbases/s measured going 4 -> 16 at an 8.4M-key table); the
+        # gather path materializes [windows, R] take temporaries, so its
+        # batch stays small (16 OOMs a 16 GB HBM).
+        if batch is None:
+            batch = 16 if (sortjoin and k % 2 == 1) else 4
         self.batch = batch
         from merfin_tpu.score.bin_table import BinTable
 
@@ -185,6 +244,8 @@ class KstarEngine:
             def make(lookup):
                 keys = np.asarray(lookup.keys)[: lookup.n]
                 vals = np.asarray(lookup.vals)[: lookup.n]
+                if jax.default_backend() == "cpu":
+                    return _JnpSortJoin(keys, vals)
                 # v1 wins when the table/query ratio per dispatch is small
                 # (its cost is QB x window); v4's fence narrowing scales
                 # flat with table size (docs/PERF.md measurements).
@@ -331,6 +392,29 @@ class KstarEngine:
         return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 
+    def _lookup_kvals_sorted_seg(self, codes, seg, r_tree, a_tree, vm):
+        """Sorted-join GROUP path: the seg plane rides the device sort as
+        a secondary operand (lax.sort num_keys=1), so per-slot reductions
+        survive the permutation — every consumer downstream is a
+        reduction, positional order never matters."""
+        import jax
+        import jax.numpy as jnp
+
+        fmer, rmer, valid = kmer_windows(codes, self.k)
+        canon = jnp.minimum(fmer, rmer)
+        canon = jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        qs, seg_s = jax.lax.sort(
+            (canon.reshape(-1), seg.reshape(-1).astype(jnp.int32)),
+            num_keys=1)
+        valid_s = qs != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        read_v = self._sj_read.lookup_sorted_with(r_tree, qs).astype(np.uint64)
+        asm_v = self._sj_asm.lookup_sorted_with(a_tree, qs).astype(np.uint64)
+        read_k, prob, overflow = self.value_map.lookup_jnp(read_v, vm)
+        asm_k = asm_v.astype(jnp.float64)
+        read_k = jnp.where(valid_s, read_k, 0.0)
+        asm_k = jnp.where(valid_s, asm_k, 0.0)
+        return read_k, asm_k, prob, valid_s, overflow, seg_s
+
     def _hist_group_chunk(self, codes, seg, r_tree, a_tree, vm, bins):
         """Packed-group -hist step: codes [B, C + k - 1] with SEG_MAX
         sequences packed per dispatch (k-1 separators), seg [B, C] giving
@@ -341,19 +425,19 @@ class KstarEngine:
         """
         import jax.numpy as jnp
 
-        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
-            codes, r_tree, a_tree, vm)
+        if self.sortjoin:
+            (read_k, asm_k, prob, valid, overflow,
+             seg) = self._lookup_kvals_sorted_seg(codes, seg, r_tree,
+                                                  a_tree, vm)
+        else:
+            read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
+                codes, r_tree, a_tree, vm)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
         is_over = valid & (read_k > 0) & ~is_undr
 
-        seg_eff = jnp.where(valid, seg, SEG_MAX)
-        kasm_seg = jnp.bincount(seg_eff.reshape(-1),
-                                length=SEG_MAX + 1)[:SEG_MAX]
-        seg_mis = jnp.where(missing, seg, SEG_MAX)
-        kmis_seg = jnp.bincount(seg_mis.reshape(-1),
-                                length=SEG_MAX + 1)[:SEG_MAX]
+        kasm_seg, kmis_seg = seg_counts_by_sort(seg, valid, missing)
 
         kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
 
@@ -430,8 +514,8 @@ class KstarEngine:
 
         (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
          overflow, fallbacks) = self._hist_group_impl(
-            *inputs, self.read_lookup.tree(), self.asm_lookup.tree(),
-            self.value_map.device_arrays(), self.bin_table.device_arrays())
+            *inputs, *self._step_args(),
+            self.bin_table.device_arrays())
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= NBINS:
@@ -452,12 +536,8 @@ class KstarEngine:
 
         read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
             codes, r_tree, a_tree, vm)
-        seg_eff = jnp.where(valid, seg, SEG_MAX)
-        kasm_seg = jnp.bincount(seg_eff.reshape(-1),
-                                length=SEG_MAX + 1)[:SEG_MAX]
-        seg_mis = jnp.where(valid & (read_k == 0), seg, SEG_MAX)
-        kmis_seg = jnp.bincount(seg_mis.reshape(-1),
-                                length=SEG_MAX + 1)[:SEG_MAX]
+        kasm_seg, kmis_seg = seg_counts_by_sort(
+            seg, valid, valid & (read_k == 0))
         return read_k, asm_k, kasm_seg, kmis_seg, overflow
 
     def dump_group(self, seqs):
