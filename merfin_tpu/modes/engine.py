@@ -242,8 +242,12 @@ class KstarEngine:
             assert (self.chunk * self.batch) % QB == 0
 
             def make(lookup):
-                keys = np.asarray(lookup.keys)[: lookup.n]
-                vals = np.asarray(lookup.vals)[: lookup.n]
+                # host rows, not the device arrays: fetching the table
+                # back over the link just to re-pack it would be absurd,
+                # and touching lookup.keys would trigger the lazy gather-
+                # table placement a sorted-join run never needs
+                keys = lookup.keys_np
+                vals = lookup.vals_np
                 if jax.default_backend() == "cpu":
                     return _JnpSortJoin(keys, vals)
                 # v1 wins when the table/query ratio per dispatch is small
@@ -538,7 +542,7 @@ class KstarEngine:
             codes, r_tree, a_tree, vm)
         kasm_seg, kmis_seg = seg_counts_by_sort(
             seg, valid, valid & (read_k == 0))
-        return read_k, asm_k, kasm_seg, kmis_seg, overflow
+        return (*self._dump_out(read_k, asm_k), kasm_seg, kmis_seg, overflow)
 
     def dump_group(self, seqs):
         """-dump for a PACKED group of small sequences (one dispatch).
@@ -555,8 +559,9 @@ class KstarEngine:
             *inputs, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays())
         self.overflow_values += int(overflow)
-        rk = np.asarray(rk).reshape(-1)   # window at stream pos p -> p
-        ak = np.asarray(ak).reshape(-1)
+        # window at stream pos p -> p; u32 wire format -> exact f64
+        rk = np.asarray(rk).reshape(-1).astype(np.float64, copy=False)
+        ak = np.asarray(ak).reshape(-1).astype(np.float64, copy=False)
         kasm_seg = np.asarray(kasm_seg)
         kmis_seg = np.asarray(kmis_seg)
 
@@ -576,13 +581,27 @@ class KstarEngine:
         return fold_hist_state(
             state, self._hist_chunk(codes, r_tree, a_tree, vm, bins))
 
+    def _fetch32(self) -> bool:
+        """True when readK/asmK provably fit uint32: readK <= vcap/peak
+        (vcap <= 2^23) and odd k forbids palindrome doubling of asm_v
+        beyond u32.  Halves the positional fetch vs f64."""
+        return self.peak >= 0.01 and self.k % 2 == 1
+
+    def _dump_out(self, read_k, asm_k):
+        import jax.numpy as jnp
+
+        if self._fetch32():
+            return read_k.astype(jnp.uint32), asm_k.astype(jnp.uint32)
+        return read_k, asm_k
+
     def _dump_chunk(self, codes, r_tree, a_tree, vm):
         """codes uint8 [C + k - 1] -> per-position readK/asmK + counts.
 
         Mirrors processDump (merfin-dump.C:21-68).  K* is computed on the
         host from the fetched readK/asmK (k_metric_np): one less array
         over the link, and %.2f output is host-f64 exact regardless of
-        the accelerator's f64 emulation.
+        the accelerator's f64 emulation.  Both are integer-valued, so
+        they cross the link as uint32 (half the f64 fetch bytes).
         """
         import jax.numpy as jnp
 
@@ -590,7 +609,7 @@ class KstarEngine:
             codes, r_tree, a_tree, vm)
         kasm = jnp.sum(valid)
         kmissing = jnp.sum(valid & (read_k == 0))
-        return read_k, asm_k, kasm, kmissing, overflow
+        return (*self._dump_out(read_k, asm_k), kasm, kmissing, overflow)
 
     # ---- host streaming ----
 
@@ -657,6 +676,6 @@ class KstarEngine:
             rk, ak, kasm, kmis, overflow = self._dump_step(buf)
             self.overflow_values += int(overflow)
             n = min(self.chunk, n_pos - start)
-            rk = np.asarray(rk)[:n]
-            ak = np.asarray(ak)[:n]
+            rk = np.asarray(rk)[:n].astype(np.float64, copy=False)
+            ak = np.asarray(ak)[:n].astype(np.float64, copy=False)
             yield (start, rk, ak, k_metric_np(rk, ak), int(kasm), int(kmis))

@@ -205,7 +205,8 @@ class ShardedKstarEngine:
             for row, start in enumerate(group):
                 if row in rk_rows:
                     n = min(self.chunk, n_pos - start)
-                    r, a = rk_rows[row][:n], ak_rows[row][:n]
+                    r = rk_rows[row][:n].astype(np.float64, copy=False)
+                    a = ak_rows[row][:n].astype(np.float64, copy=False)
                     yield (ordinal + row, start, r, a, k_metric_np(r, a),
                            int(kasm_rows[row]), int(kmis_rows[row]))
             ordinal += len(group)
@@ -230,6 +231,7 @@ class ShardedKstarEngine:
             kasm, kmis = np.asarray(kasm), np.asarray(kmis)
             for row, start in enumerate(group):
                 n = min(self.chunk, n_pos - start)
-                r, a = rk[row, :n], ak[row, :n]
+                r = rk[row, :n].astype(np.float64, copy=False)
+                a = ak[row, :n].astype(np.float64, copy=False)
                 yield (start, r, a, k_metric_np(r, a),
                        int(kasm[row]), int(kmis[row]))

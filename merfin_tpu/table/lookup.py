@@ -120,12 +120,40 @@ class DeviceLookup:
         if self.n:
             keys_p[: self.n] = keys
             vals_p[: self.n] = vals
-        self.keys = put(keys_p)
-        self.vals = put(vals_p)
-        self.keys2d = put(keys_p.reshape(-1, W))
-        self.vals2d = put(vals_p.reshape(-1, W))
+        # Single resident copy: the block strategy's [nblocks, W] view is
+        # a free row-major reshape inside the jitted probe (keeping a
+        # separate 2-D device copy doubled the table's HBM footprint).
+        # Placement is LAZY: a -hist run on the sorted-join path never
+        # touches these, so the gather table then costs no HBM at all.
+        self._put_fn = put
+        self._keys_host = keys_p
+        self._vals_host = vals_p
+        self._offsets_host = offsets
+        self._keys_dev = None
+        self._vals_dev = None
+        self._offsets_dev = None
+        # unpadded host rows, for join-table builders (modes/engine.py)
+        self.keys_np = keys
+        self.vals_np = vals
         self.nblocks = pad_to // W
-        self.offsets = put(offsets)
+
+    @property
+    def keys(self):
+        if self._keys_dev is None:
+            self._keys_dev = self._put_fn(self._keys_host)
+        return self._keys_dev
+
+    @property
+    def vals(self):
+        if self._vals_dev is None:
+            self._vals_dev = self._put_fn(self._vals_host)
+        return self._vals_dev
+
+    @property
+    def offsets(self):
+        if self._offsets_dev is None:
+            self._offsets_dev = self._put_fn(self._offsets_host)
+        return self._offsets_dev
 
     @staticmethod
     def _build_offsets(prefixes: np.ndarray, bits: int):
@@ -143,7 +171,7 @@ class DeviceLookup:
         ARGUMENTS so device programs don't bake the table in as a
         constant (a closure-captured table forces a recompile per table
         and bloats the executable)."""
-        return (self.keys, self.vals, self.keys2d, self.vals2d, self.offsets)
+        return (self.keys, self.vals, self.offsets)
 
     def lookup_with(self, tree, q):
         """lookup() with table arrays supplied explicitly (see tree())."""
@@ -183,7 +211,7 @@ class DeviceLookup:
         import jax
         import jax.numpy as jnp
 
-        keys, vals, keys2d, vals2d, offsets = tree
+        keys, vals, offsets = tree
 
         if self.n == 0:
             return jnp.zeros(q.shape, dtype=jnp.uint32)
@@ -194,6 +222,8 @@ class DeviceLookup:
         if self.strategy == "block":
             # A bucket spans at most `rows` consecutive window-wide blocks
             # (sized at build); fetch them and equality-select.
+            keys2d = keys.reshape(-1, self.window)
+            vals2d = vals.reshape(-1, self.window)
             base = offsets[b]
             r = jnp.minimum(base // self.window, self.nblocks - self.rows)
             rows = r[:, None] + jnp.arange(self.rows, dtype=jnp.int32)[None, :]
