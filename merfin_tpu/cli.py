@@ -337,7 +337,7 @@ def run(cfg: MerfinConfig) -> int:
 
             return ShardedKstarEngine(
                 mesh, read_sharded, asm_sharded, k, cfg.peak, prob_table=prob,
-                max_value=_db_max(read_db))
+                max_value=_db_max(read_db), exact_max=True)
         import jax
 
         from merfin_tpu.modes.engine import KstarEngine
@@ -348,7 +348,8 @@ def run(cfg: MerfinConfig) -> int:
         elif sortjoin is None:  # auto: the Pallas join path on accelerators
             sortjoin = jax.default_backend() != "cpu" and k % 2 == 1
         engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
-                             max_value=_db_max(read_db), sortjoin=sortjoin)
+                             max_value=_db_max(read_db), sortjoin=sortjoin,
+                             exact_max=True)
         if engine.sortjoin:
             print("-- Using sorted-join lookup kernel for -hist.", file=log)
         return engine
@@ -387,7 +388,8 @@ def run(cfg: MerfinConfig) -> int:
 
                 print("-- Using fused device scoring (-devscore).", file=log)
                 scorer = DeviceScorer(read_lookup, asm_lookup, k, cfg.peak,
-                                      prob, max_value=_db_max(read_db))
+                                      prob, max_value=_db_max(read_db),
+                                      exact_max=True)
         run_variants(
             cfg.report_type, seq_file, vcf, k,
             rlookup, alookup,

@@ -43,7 +43,9 @@ def run_completeness(
     from merfin_tpu.score.value_map import ValueMap
 
     max_v = int(np.asarray(read_db.vals).max()) if read_db.distinct else 1
-    vmap = ValueMap(peak, prob_table, max_v)
+    # max_v is the scanned TRUE maximum (and completeness feeds raw DB
+    # values, never palindrome-doubled), so the fallback compiles away
+    vmap = ValueMap(peak, prob_table, max_v, exact_max=True)
     vm_arrays = vmap.device_arrays()
 
     if mesh is not None:

@@ -203,6 +203,7 @@ class KstarEngine:
         max_value: int | None = None,
         sortjoin: bool = False,
         pack_transfer: bool = True,
+        exact_max: bool = False,
     ):
         ensure_x64()
         import jax
@@ -226,7 +227,10 @@ class KstarEngine:
 
         # getK evaluated exactly on host per raw value (TPU f64 is ~48-bit;
         # see merfin_tpu/score/value_map.py); same for histogram bins
-        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
+        # exact_max: caller asserts max_value is the scanned DB maximum
+        # (the CLI does); the overflow fallback then compiles away
+        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
+                                  exact_max=exact_max)
         self.bin_table = BinTable()
         self.overflow_values = 0
         self.bin_fallbacks = 0

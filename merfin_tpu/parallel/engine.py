@@ -36,6 +36,7 @@ class ShardedKstarEngine:
         chunk: int = 1 << 19,
         max_value: int | None = None,
         pack_transfer: bool = True,
+        exact_max: bool = False,
     ):
         ensure_x64()
         import jax
@@ -46,7 +47,8 @@ class ShardedKstarEngine:
         self.peak = float(peak)
         self.chunk = chunk
         self.data = mesh.shape["d"]
-        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
+        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
+                                  exact_max=exact_max)
         self.overflow_values = 0
         self.bin_fallbacks = 0
         self._read_lookup = read_lookup

@@ -28,12 +28,18 @@ class ValueMap:
     """Gather tables: raw read-DB value -> (readK, prob)."""
 
     def __init__(self, peak: float, prob_table: ProbTable | None,
-                 max_value: int, hard_cap: int = 1 << 22):
+                 max_value: int, hard_cap: int = 1 << 22,
+                 exact_max: bool = False):
         self.peak = float(peak)
         # fmer+rmer palindrome doubling can reach 2 * max DB value;
         # quantize to a power of two for compiled-program reuse
         vcap = int(min(max(2 * max_value, 2), hard_cap))
         self.vcap = max(2, 1 << (vcap - 1).bit_length())
+        # exact_max: the caller asserts max_value is the TRUE DB maximum
+        # (the CLI scans the DB); then no raw value can exceed vcap and
+        # the device fallback division + overflow counter compile away.
+        # Callers passing a guessed max keep the counted fallback.
+        self.never_overflows = bool(exact_max) and self.vcap >= 2 * max_value
         v = np.arange(self.vcap + 1, dtype=np.uint64)
         read_k, _, prob = get_k_np(v, np.zeros_like(v), peak, prob_table)
         self.read_k_host = read_k          # float64, integer-valued (or inf)
@@ -61,10 +67,14 @@ class ValueMap:
 
         rk_map, pr_map = arrays if arrays is not None else self.device_arrays()
         v = seq_value.astype(jnp.int64)
-        over = v > self.vcap
         idx = jnp.minimum(v, self.vcap)
         read_k = rk_map[idx]
         prob = pr_map[idx]
+        if self.never_overflows:
+            # vcap covers 2x the true DB max: the clamp above is pure
+            # safety, the emulated-f64 fallback division never runs
+            return read_k, prob, jnp.int64(0)
+        over = v > self.vcap
         if self.peak != 0:
             fb = jnp.floor(v.astype(jnp.float64) / self.peak + 0.5)
         else:

@@ -28,14 +28,16 @@ class DeviceScorer:
     """Scores packed candidate-path streams in one device dispatch."""
 
     def __init__(self, read_lookup, asm_lookup, k: int, peak: float,
-                 prob_table: ProbTable | None, max_value: int | None = None):
+                 prob_table: ProbTable | None, max_value: int | None = None,
+                 exact_max: bool = False):
         ensure_x64()
         import jax
 
         self.k = k
         self.read_lookup = read_lookup
         self.asm_lookup = asm_lookup
-        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19))
+        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
+                                  exact_max=exact_max)
         self.overflow_values = 0
         self._impl = jax.jit(self._score_stream, static_argnums=0)
 
