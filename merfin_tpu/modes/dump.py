@@ -107,7 +107,8 @@ def run_dump(
     # (engine.dump_group), mirroring run_hist's grouping.
     from merfin_tpu.modes.engine import SEG_MAX
 
-    cap = getattr(engine, "group_capacity", 0) \
+    cap = getattr(engine, "dump_group_capacity",
+                  getattr(engine, "group_capacity", 0)) \
         if hasattr(engine, "dump_group") else 0
     group: list = []          # (seq_idx, seq)
     group_pos = 0

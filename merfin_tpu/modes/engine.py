@@ -290,6 +290,12 @@ class KstarEngine:
             self._dump_group_impl = jax.jit(self._dump_group_chunk)
         # packed-group capacity (positions) for fragmented assemblies
         self.group_capacity = self.batch * self.chunk
+        # dump_group always rides the gather tables (positional output),
+        # whose [windows, R] take temporaries OOM a 16 GB HBM at the
+        # sortjoin default batch=16 — cap its packed rows independently
+        # of self.batch so one engine can serve both modes.
+        self.dump_batch = min(self.batch, 4)
+        self.dump_group_capacity = self.dump_batch * self.chunk
 
     def _step_args(self):
         if self.sortjoin:
@@ -461,10 +467,6 @@ class KstarEngine:
         return (kasm_seg, kmis_seg, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 
-    def _pack_group(self, seqs):
-        return pack_group(seqs, self.k, self.chunk, self.batch,
-                          self.group_capacity)
-
     def _unpack(self, planes, vbits):
         from merfin_tpu.ops.kmer_ops import unpack_transfer
 
@@ -498,13 +500,16 @@ class KstarEngine:
             seg_from_marks(marks, base, self.chunk),
             r_tree, a_tree, vm)
 
-    def _group_inputs(self, seqs):
+    def _group_inputs(self, seqs, batch=None, capacity=None):
         """Transfer arrays for one packed group + per-seq starts."""
+        batch = self.batch if batch is None else batch
+        capacity = self.group_capacity if capacity is None else capacity
         if self.pack_transfer:
             planes, vbits, marks, base, starts = pack_group_transfer(
-                seqs, self.k, self.chunk, self.batch, self.group_capacity)
+                seqs, self.k, self.chunk, batch, capacity)
             return (planes, vbits, marks, base), starts
-        codes_b, seg_b, starts = self._pack_group(seqs)
+        codes_b, seg_b, starts = pack_group(seqs, self.k, self.chunk,
+                                            batch, capacity)
         return (codes_b, seg_b), starts
 
     def hist_group(self, seqs):
@@ -557,7 +562,8 @@ class KstarEngine:
         from merfin_tpu.score.kstar import k_metric_np
 
         k = self.k
-        inputs, starts = self._group_inputs(seqs)
+        inputs, starts = self._group_inputs(
+            seqs, batch=self.dump_batch, capacity=self.dump_group_capacity)
 
         rk, ak, kasm_seg, kmis_seg, overflow = self._dump_group_impl(
             *inputs, self.read_lookup.tree(), self.asm_lookup.tree(),
@@ -586,10 +592,10 @@ class KstarEngine:
             state, self._hist_chunk(codes, r_tree, a_tree, vm, bins))
 
     def _fetch32(self) -> bool:
-        """True when readK/asmK provably fit uint32: readK <= vcap/peak
-        (vcap <= 2^23) and odd k forbids palindrome doubling of asm_v
-        beyond u32.  Halves the positional fetch vs f64."""
-        return self.peak >= 0.01 and self.k % 2 == 1
+        """True when readK/asmK provably fit uint32 (halves the
+        positional fetch vs f64).  Gate shared with the mesh dump path:
+        ValueMap.fits_u32."""
+        return self.value_map.fits_u32(self.k)
 
     def _dump_out(self, read_k, asm_k):
         import jax.numpy as jnp

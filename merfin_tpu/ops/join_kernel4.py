@@ -1,8 +1,8 @@
 """Sorted-join lookup kernel v4 — 8-bit planes on the fast MXU path.
 
 Lineage: v1 streams + equality (join_kernel.py), v2 adds fence narrowing
-with one-hot MXU row pulls (join_kernel2.py), v3 packs segments and
-double-buffers DMA (join_kernel3.py).  v3 measured MXU-bound: exact f32
+with one-hot MXU row pulls (v2), v3 packs segments and double-buffers
+DMA (v2/v3 removed after being superseded; measurements in docs/PERF.md).  v3 measured MXU-bound: exact f32
 one-hot pulls need Precision.HIGHEST (6 bf16 passes) because 16-bit
 plane values don't fit bf16.  v4 splits every u32 into FOUR u8 planes —
 bf16 represents 0..255 exactly, so DEFAULT (single-pass) matmuls are

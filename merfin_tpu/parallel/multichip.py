@@ -367,8 +367,8 @@ def make_dump_step(
         # K* is computed on the host from readK/asmK (see the
         # single-device _dump_chunk): less traffic, host-f64 exact.
         # Integer-valued positional planes fetch as uint32 when they
-        # provably fit (same gate as KstarEngine._fetch32).
-        if value_map.peak >= 0.01 and k % 2 == 1:
+        # provably fit (shared gate: ValueMap.fits_u32).
+        if value_map.fits_u32(k):
             read_k = read_k.astype(jnp.uint32)
             asm_k = asm_k.astype(jnp.uint32)
         return read_k, asm_k, kasm, kmissing, overflow

@@ -45,6 +45,19 @@ class ValueMap:
         self.read_k_host = read_k          # float64, integer-valued (or inf)
         self.prob_host = prob
 
+    def fits_u32(self, k: int) -> bool:
+        """True when readK/asmK provably fit uint32 so positional
+        fetches can ride the wire as u32 instead of f64.
+
+        Requires never_overflows: when the overflow fallback can fire
+        (raw value > vcap), readK = round(v/peak) is unbounded and a
+        u32 cast would silently corrupt output.  With the fallback
+        compiled away, table readK <= vcap/peak <= 2^22/0.01 < 2^32,
+        and odd k forbids palindrome fmer+rmer doubling of asm_v
+        beyond the single DB value (itself < 2^32).
+        """
+        return self.never_overflows and self.peak >= 0.01 and k % 2 == 1
+
     def device_arrays(self):
         """(read_k[vcap+1] f64, prob[vcap+1] f64) as jnp arrays.
 

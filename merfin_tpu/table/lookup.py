@@ -137,22 +137,29 @@ class DeviceLookup:
         self.vals_np = vals
         self.nblocks = pad_to // W
 
+    # Once placed, the padded host copy is DROPPED (~12 bytes/key of
+    # host RSS on billion-kmer tables); keys_np/vals_np (unpadded,
+    # shared with the DB) stay for the join-table builders.
+
     @property
     def keys(self):
         if self._keys_dev is None:
             self._keys_dev = self._put_fn(self._keys_host)
+            self._keys_host = None
         return self._keys_dev
 
     @property
     def vals(self):
         if self._vals_dev is None:
             self._vals_dev = self._put_fn(self._vals_host)
+            self._vals_host = None
         return self._vals_dev
 
     @property
     def offsets(self):
         if self._offsets_dev is None:
             self._offsets_dev = self._put_fn(self._offsets_host)
+            self._offsets_host = None
         return self._offsets_dev
 
     @staticmethod
