@@ -99,6 +99,8 @@ def merfin_main(argv: list[str]) -> int:
                 cfg.sortjoin = False
             elif a == "-devscore":
                 cfg.devscore = True
+            elif a == "-nodevscore":
+                cfg.devscore = False
             elif a in mode_flags:
                 if a == "-loose":
                     print("*EXPERIMENTAL* Running in -loose mode", file=sys.stderr)
@@ -124,8 +126,6 @@ def merfin_main(argv: list[str]) -> int:
         errs.append("No sequence meryl database (-seqmers) nor sequence (-sequence) supplied.\n")
     if cfg.report_type is None:
         errs.append("No report type (-filter, -polish, -hist, -dump, -completeness) supplied.\n")
-    if cfg.devscore and cfg.mesh:
-        errs.append("-devscore cannot be combined with -mesh (sharded lookups use the host scorer).\n")
     if cfg.read_db_name is None:
         errs.append("No read meryl database (-readmers) supplied.\n")
 
@@ -153,8 +153,10 @@ def _usage() -> None:
         "  -nosplit -comb -debug -skipMissing\n"
         "  Extensions: -resume (checkpointed restart), -mesh DxT (shard the\n"
         "  tables over a device mesh; all report types), -sortjoin/-nosortjoin\n"
-        "  (Pallas join kernel for -hist; auto on accelerators), -devscore\n"
-        "  (fused on-device variant scoring; host scoring is the default).\n"
+        "  (Pallas join kernel for -hist; auto on accelerators),\n"
+        "  -devscore/-nodevscore (fused on-device variant scoring; auto:\n"
+        "  on for -filter/-better/-strict/-loose where it is provably\n"
+        "  byte-identical, off for -polish/-debug which compare host doubles).\n"
         "  Multi-host: set MERFIN_NUM_PROCESSES, MERFIN_PROCESS_ID and\n"
         "  MERFIN_COORDINATOR (host:port) on every host; sequences/DB slices\n"
         "  stripe across processes and rank 0 writes the merged outputs.\n"
@@ -383,10 +385,25 @@ def run(cfg: MerfinConfig) -> int:
             rlookup, alookup = read_sharded.lookup_np, asm_sharded.lookup_np
         else:
             rlookup, alookup = read_lookup.lookup_np, asm_lookup.lookup_np
-            if cfg.devscore:
+        # Fused device scoring: default for the numM-only modes (their
+        # selectors are provably byte-identical under it — see
+        # variants/device_score.py docstring); -polish and -debug keep
+        # the host-exact scorer unless -devscore forces the device.
+        use_dev = cfg.devscore
+        if use_dev is None:
+            use_dev = cfg.report_type != "polish" and not cfg.debug
+        if use_dev:
+            print("-- Using fused device scoring (-devscore).", file=log)
+            if mesh is not None:
+                from merfin_tpu.variants.device_score import ShardedScorer
+
+                scorer = ShardedScorer(mesh, read_sharded, asm_sharded, k,
+                                       cfg.peak, prob,
+                                       max_value=_db_max(read_db),
+                                       exact_max=True)
+            else:
                 from merfin_tpu.variants.device_score import DeviceScorer
 
-                print("-- Using fused device scoring (-devscore).", file=log)
                 scorer = DeviceScorer(read_lookup, asm_lookup, k, cfg.peak,
                                       prob, max_value=_db_max(read_db),
                                       exact_max=True)

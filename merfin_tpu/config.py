@@ -83,7 +83,9 @@ class MerfinConfig:
     resume: bool = False                 # -resume (extension: sequence-level checkpoint/restart)
     mesh: str | None = None              # -mesh DxT (extension: shard tables over a device mesh)
     sortjoin: bool | None = None         # -sortjoin/-nosortjoin (default: auto on accelerators)
-    devscore: bool = False               # -devscore (extension: fused device variant scoring)
+    devscore: bool | None = None         # -devscore/-nodevscore (None = auto:
+                                         #  fused device scoring for the numM-only
+                                         #  modes, host scoring for -polish/-debug)
     skip_missing: bool = False           # -skipMissing
 
     # report type: one of hist|completeness|dump|filter|polish|better|strict|loose

@@ -1,20 +1,31 @@
-"""Device-fused variant-path scoring (opt-in).
+"""Device-fused variant-path scoring.
 
-The default scorer runs table lookups on device and the per-kmer K*/
-delta math on the host in exact f64 (variants/score.py) — selector
-tie-breaks compare doubles, and accelerator f64 is emulated, so the
-host path is the parity-safe default.  This module fuses the WHOLE
-per-kmer pipeline — k-mer extraction, dual exact lookup, getK, the
+The host scorer runs table lookups on device and the per-kmer K*/delta
+math in exact IEEE f64 numpy (variants/score.py).  This module fuses the
+WHOLE per-kmer pipeline — k-mer extraction, dual exact lookup, getK, the
 new-kmer asmK+1 adjustment, |K*| and delta-multiplicity — into one
 jitted dispatch over the packed path stream (varMer::score semantics,
 varMer.C:76-135, as a flat array program).  Selectors stay on the host.
 
-On CPU backends the results are bit-identical to the host scorer
-(tested); on TPU the ratio math may differ in final ulps from host
-doubles.  Enable with -devscore.
+Exactness: numM (the missing count) is exact on every backend — it only
+depends on readK == 0, an integer gather.  The -filter/-better/-strict/
+-loose selectors consume ONLY numM and sequence lengths (varMer.C:
+150-199,204-395), so fused device scoring is provably byte-identical for
+those modes and is the default there.  -polish tie-breaks compare
+float sums of dkstr (varMer.C:427-447); accelerator f64 is emulated
+(~48-bit), so -polish keeps the host scorer unless -devscore is given.
+On CPU backends the fused results are bit-identical to the host scorer
+for ALL modes (tested).
+
+DeviceScorer probes single-device gather tables; ShardedScorer runs the
+same program under shard_map over a ("d", "t") mesh, probing table
+shards resident across the mesh's HBM and combining with one psum over
+the "t" axis (the lookup tables never exist on any single chip).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 
@@ -22,6 +33,75 @@ from merfin_tpu.config import ensure_x64
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
 from merfin_tpu.score.kstar import ProbTable
 from merfin_tpu.score.value_map import ValueMap
+
+
+def _planes_from_bits(adj_bits, mark_bits, n):
+    """Unpack the adjust bitmask and path-start marks shipped across the
+    link (1 bit/window each instead of 1+8 bytes) back into planes.
+    path_start[i] = index of the last mark at or before i; windows in
+    the tail padding (no further marks) inherit the last path's start,
+    but their outputs are sliced off by the caller."""
+    import jax
+    import jax.numpy as jnp
+
+    bsh = jnp.arange(8, dtype=jnp.uint8)
+    adjust = ((adj_bits[:, None] >> bsh) & jnp.uint8(1)
+              ).reshape(-1)[:n].astype(bool)
+    mk = ((mark_bits[:, None] >> bsh) & jnp.uint8(1)).reshape(-1)[:n]
+    midx = jnp.arange(n, dtype=jnp.int64)
+    path_start = jax.lax.cummax(jnp.where(mk == 1, midx, jnp.int64(-1)))
+    return adjust, path_start
+
+
+def _stream_math(value_map, vm, read_v, asm_v, valid, adjust, path_start):
+    """getK + K*/delta math on the flat window axis (device mirror of
+    score._flat_math, bit-identical on CPU backends — tested)."""
+    import jax
+    import jax.numpy as jnp
+
+    read_k, prob, overflow = value_map.lookup_jnp(read_v, vm)
+    asm_k = asm_v.astype(jnp.float64)
+    read_k = jnp.where(valid, read_k, 0.0)
+    asm_k = jnp.where(valid, asm_k, 0.0)
+
+    # stale-prob forward fill, reset at path starts (varMer.C:60,84
+    # semantics; see score._flat_math)
+    n = read_k.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    vi = jnp.where(valid, idx, jnp.int64(-1))
+    last = jax.lax.cummax(vi)
+    prob_f = jnp.where(last >= path_start,
+                       prob[jnp.clip(last, 0, None)], 1.0)
+
+    o_delta = jnp.abs(read_k - asm_k) * prob_f
+    asm_adj = asm_k + adjust.astype(jnp.float64)
+    over = read_k / asm_adj - 1.0
+    under = asm_adj / read_k - 1.0
+    kstr = jnp.where(read_k == 0, -1.0,
+                     jnp.where(read_k > asm_adj, over, under))
+    n_delta = jnp.abs(read_k - asm_adj) * prob_f
+    return kstr, o_delta - n_delta, overflow
+
+
+def _pack_inputs(codes: np.ndarray, adjust: np.ndarray,
+                 path_start: np.ndarray, k: int):
+    """Host-side transfer packing shared by both scorers: pad the stream
+    to a power of two (compiled-shape reuse), 2-bit code planes +
+    validity bits, and 1-bit adjust/mark planes."""
+    from merfin_tpu.kcore.pack import pack_transfer_np
+
+    n = max(0, codes.shape[0] - k + 1)
+    p = max(4096, 1 << (n - 1).bit_length())
+    codes_p = np.full(p + k - 1, 4, dtype=np.uint8)
+    codes_p[: codes.shape[0]] = codes
+    planes, vbits = pack_transfer_np(codes_p)
+    adj_p = np.zeros(p, dtype=bool)
+    adj_p[:n] = adjust[:n]
+    marks = np.zeros(p, dtype=bool)
+    marks[:n] = path_start[:n] == np.arange(n, dtype=np.int64)
+    return (p, n, planes, vbits,
+            np.packbits(adj_p, bitorder="little"),
+            np.packbits(marks, bitorder="little"))
 
 
 class DeviceScorer:
@@ -47,78 +127,119 @@ class DeviceScorer:
 
         planes/vbits: 2-bit codes + validity of the packed path stream
         (kcore.pack.pack_transfer_np of codes u8 [n + k - 1], paths
-        separated by k-1 invalid bases); adj_bits: new-kmer adjustment
-        bitmask [ceil(n/8)]; mark_bits: path-start marks — window i
-        starts a path's region.  The flat path_start plane (int64,
-        8B/window on the wire) is reconstructed as a device cummax over
-        the marks; with the 2-bit codes this is ~16x fewer input bytes.
-        Mirrors score._scores_batched exactly (tested on CPU).
+        separated by k-1 invalid bases); adj_bits/mark_bits: 1-bit
+        planes (see _planes_from_bits).  With the 2-bit codes this is
+        ~16x fewer input bytes than u8 codes + i64 path_start.
         """
-        import jax
-        import jax.numpy as jnp
-
         from merfin_tpu.ops.kmer_ops import unpack_transfer
 
         codes = unpack_transfer(planes, vbits, n + self.k - 1)
-        bsh = jnp.arange(8, dtype=jnp.uint8)
-        adjust = ((adj_bits[:, None] >> bsh) & jnp.uint8(1)
-                  ).reshape(-1)[:n].astype(bool)
-        mk = ((mark_bits[:, None] >> bsh) & jnp.uint8(1)).reshape(-1)[:n]
-        midx = jnp.arange(n, dtype=jnp.int64)
-        # path_start[i] = index of the last mark at or before i; windows
-        # in the tail padding (no further marks) inherit the last path's
-        # start, but their outputs are sliced off by the caller
-        path_start = jax.lax.cummax(jnp.where(mk == 1, midx, jnp.int64(-1)))
-
+        adjust, path_start = _planes_from_bits(adj_bits, mark_bits, n)
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
-        read_v = self.read_lookup.lookup_with(r_tree, canon).astype(np.uint64) * mult
-        asm_v = self.asm_lookup.lookup_with(a_tree, canon).astype(np.uint64) * mult
-        read_k, prob, overflow = self.value_map.lookup_jnp(read_v, vm)
-        asm_k = asm_v.astype(jnp.float64)
-        read_k = jnp.where(valid, read_k, 0.0)
-        asm_k = jnp.where(valid, asm_k, 0.0)
-
-        # stale-prob forward fill, reset at path starts (the host
-        # scorer's per-row fill, score.py:_scores_batched)
-        n = read_k.shape[0]
-        idx = jnp.arange(n, dtype=jnp.int64)
-        vi = jnp.where(valid, idx, jnp.int64(-1))
-        last = jax.lax.cummax(vi)
-        prob_f = jnp.where(last >= path_start,
-                           prob[jnp.clip(last, 0, None)], 1.0)
-
-        o_delta = jnp.abs(read_k - asm_k) * prob_f
-        asm_adj = asm_k + adjust.astype(jnp.float64)
-        over = read_k / asm_adj - 1.0
-        under = asm_adj / read_k - 1.0
-        kstr = jnp.where(read_k == 0, -1.0,
-                         jnp.where(read_k > asm_adj, over, under))
-        n_delta = jnp.abs(read_k - asm_adj) * prob_f
-        return kstr, o_delta - n_delta, overflow
+        read_v = self.read_lookup.lookup_with(
+            r_tree, canon).astype(np.uint64) * mult
+        asm_v = self.asm_lookup.lookup_with(
+            a_tree, canon).astype(np.uint64) * mult
+        return _stream_math(self.value_map, vm, read_v, asm_v, valid,
+                            adjust, path_start)
 
     def score_stream(self, codes: np.ndarray, adjust: np.ndarray,
                      path_start: np.ndarray):
         """Numpy-in/numpy-out; pads to a power of two for shape reuse."""
-        from merfin_tpu.kcore.pack import pack_transfer_np
-
-        k = self.k
-        n = max(0, codes.shape[0] - k + 1)
+        p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
+            codes, adjust, path_start, self.k)
         if n == 0:
             return np.zeros(0), np.zeros(0)
-        p = max(4096, 1 << (n - 1).bit_length())
-        codes_p = np.full(p + k - 1, 4, dtype=np.uint8)
-        codes_p[: codes.shape[0]] = codes
-        planes, vbits = pack_transfer_np(codes_p)
-        adj_p = np.zeros(p, dtype=bool)
-        adj_p[:n] = adjust[:n]
-        marks = np.zeros(p, dtype=bool)
-        marks[:n] = path_start[:n] == np.arange(n, dtype=np.int64)
         kstr, dkstr, overflow = self._impl(
             p, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays(), planes, vbits,
-            np.packbits(adj_p, bitorder="little"),
-            np.packbits(marks, bitorder="little"))
+            adj_bits, mark_bits)
+        self.overflow_values += int(overflow)
+        with np.errstate(all="ignore"):
+            return (np.asarray(kstr)[:n], np.asarray(dkstr)[:n])
+
+
+class ShardedScorer:
+    """Fused scoring over mesh-sharded lookup tables (-devscore -mesh).
+
+    The query stream is replicated across the mesh; every device probes
+    its local sorted table shard and the partial values combine with one
+    psum over the "t" axis (exactly parallel.sharded.ShardedLookup's
+    probe), then the K*/delta math runs replicated.  The "d" axis adds
+    table memory headroom, not variant throughput — matching the spans
+    design where every rank evaluates every cluster
+    (modes/variants.py)."""
+
+    def __init__(self, mesh, read_sharded, asm_sharded, k: int, peak: float,
+                 prob_table: ProbTable | None, max_value: int | None = None,
+                 exact_max: bool = False):
+        ensure_x64()
+        self.k = k
+        self.mesh = mesh
+        self.read_sharded = read_sharded
+        self.asm_sharded = asm_sharded
+        self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
+                                  exact_max=exact_max)
+        self.overflow_values = 0
+        self._runs: dict[int, object] = {}   # padded size -> jitted step
+
+    def _build(self, p: int):
+        """Jitted shard_map step for padded window count ``p`` (cached:
+        _pack_inputs quantizes to powers of two, so a run compiles a
+        handful of shapes)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from merfin_tpu.parallel.sharded import _local_probe
+        from merfin_tpu.ops.kmer_ops import unpack_transfer
+
+        value_map = self.value_map
+        k = self.k
+
+        @partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P("t", None), P("t", None), P("t", None), P("t", None),
+                      P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+        )
+        def step(rk, rv, ak, av, vm_rk, vm_pr, planes, vbits,
+                 adj_bits, mark_bits):
+            codes = unpack_transfer(planes, vbits, p + k - 1)
+            adjust, path_start = _planes_from_bits(adj_bits, mark_bits, p)
+            fmer, rmer, valid = kmer_windows(codes, k)
+            canon, mult = canonical_and_mult(fmer, rmer)
+            read_v = jax.lax.psum(_local_probe(rk[0], rv[0], canon), "t")
+            asm_v = jax.lax.psum(_local_probe(ak[0], av[0], canon), "t")
+            read_v = read_v.astype(jnp.uint64) * mult
+            asm_v = asm_v.astype(jnp.uint64) * mult
+            return _stream_math(value_map, (vm_rk, vm_pr), read_v, asm_v,
+                                valid, adjust, path_start)
+
+        rk_dev = jnp.asarray(value_map.read_k_host)
+        pr_dev = jnp.asarray(value_map.prob_host)
+        jstep = jax.jit(step)
+        rs, As = self.read_sharded, self.asm_sharded
+
+        def run(planes, vbits, adj_bits, mark_bits):
+            return jstep(rs.keys, rs.vals, As.keys, As.vals,
+                         rk_dev, pr_dev, planes, vbits, adj_bits, mark_bits)
+
+        return run
+
+    def score_stream(self, codes: np.ndarray, adjust: np.ndarray,
+                     path_start: np.ndarray):
+        """Numpy-in/numpy-out; same contract as DeviceScorer."""
+        p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
+            codes, adjust, path_start, self.k)
+        if n == 0:
+            return np.zeros(0), np.zeros(0)
+        run = self._runs.get(p)
+        if run is None:
+            run = self._runs[p] = self._build(p)
+        kstr, dkstr, overflow = run(planes, vbits, adj_bits, mark_bits)
         self.overflow_values += int(overflow)
         with np.errstate(all="ignore"):
             return (np.asarray(kstr)[:n], np.asarray(dkstr)[:n])

@@ -132,6 +132,26 @@ def test_hbm_fail_fast_suggests_mesh(world, capsys, monkeypatch):
     assert "GB per device" in err and "-mesh" in err
 
 
+def test_cli_devscore_composes_with_mesh(world, tmp_path, capsys):
+    """-devscore now rides -mesh (ShardedScorer); the numM-only modes
+    default to fused device scoring and outputs stay byte-identical to
+    the host scorer."""
+    from merfin_tpu.cli import merfin_main
+
+    base = ["-sequence", world["fasta"], "-readmers", world["read_db"].path,
+            "-seqmers", world["asm_db"].path, "-peak", "25",
+            "-vcf", world["vcf"]]
+    assert merfin_main(["-strict"] + base + ["-output", str(tmp_path / "a"),
+                                             "-mesh", "2x4"]) == 0
+    assert "fused device scoring" in capsys.readouterr().err  # auto-default
+    assert merfin_main(["-strict"] + base + ["-output", str(tmp_path / "b"),
+                                             "-nodevscore"]) == 0
+    assert "fused device scoring" not in capsys.readouterr().err
+    a = (tmp_path / "a.filter.vcf").read_bytes()
+    b = (tmp_path / "b.filter.vcf").read_bytes()
+    assert a == b and b.count(b"\t1/1\n") >= 1
+
+
 def test_cli_mesh_validation(world, capsys):
     from merfin_tpu.cli import merfin_main
 

@@ -192,6 +192,46 @@ def test_device_scorer_matches_host(world, tmp_path):
             assert a == b, (mode, pt is not None)
 
 
+def test_sharded_scorer_matches_host(world, tmp_path):
+    """Fused scoring over mesh-sharded tables (-devscore -mesh) is
+    bit-identical to the host scorer on the virtual CPU mesh."""
+    import numpy as np
+
+    from merfin_tpu.parallel.sharded import ShardedLookup, make_mesh
+    from merfin_tpu.score.kstar import ProbTable
+    from merfin_tpu.variants.device_score import ShardedScorer
+
+    mesh = make_mesh(8)   # 2x4: "d" headroom axis + 4-way table shards
+    rs = ShardedLookup.build(world["read_db"], mesh)
+    As = ShardedLookup.build(world["asm_db"], mesh)
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+    prob = ProbTable(np.asarray([1, 1, 2], np.uint32),
+                     np.asarray([0.9, 0.8, 0.7]))
+    for mode, pt in (("polish", None), ("filter", prob), ("strict", None)):
+        vcf = VcfFile(world["vcf"], log=io.StringIO())
+        vcf.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+        host_out = tmp_path / f"h_{mode}"
+        run_variants(mode, SeqFile(world["fasta"]), vcf, K,
+                     rl.lookup_np, al.lookup_np, peak=30.0,
+                     prob_table=pt, out_name=str(host_out),
+                     log=io.StringIO())
+
+        vcf2 = VcfFile(world["vcf"], log=io.StringIO())
+        vcf2.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+        scorer = ShardedScorer(mesh, rs, As, K, 30.0, pt)
+        sh_out = tmp_path / f"s_{mode}"
+        run_variants(mode, SeqFile(world["fasta"]), vcf2, K,
+                     rs.lookup_np, As.lookup_np, peak=30.0,
+                     prob_table=pt, out_name=str(sh_out),
+                     log=io.StringIO(), scorer=scorer)
+
+        suffix = "polish" if mode == "polish" else "filter"
+        a = (host_out.parent / f"{host_out.name}.{suffix}.vcf").read_bytes()
+        b = (sh_out.parent / f"{sh_out.name}.{suffix}.vcf").read_bytes()
+        assert a == b, mode
+
+
 def test_device_scorer_raw_scores_match(world):
     """PathScore arrays (kstr/dkstr/num_m) from the device scorer equal
     the host scorer's exactly on CPU — not just the selected records."""
