@@ -162,6 +162,105 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
     return n_real / dt
 
 
+def _bench_variants_heavy(k=21, n_clusters=4, n_vars=15, spacing=8):
+    """Heavy variant evaluation: clusters of 15 variants (SNPs, a
+    multiallelic site, insertions) merged into ONE cluster each
+    (spacing < 2k), enumerating 2^15 = 32768 candidate paths per
+    cluster (~5M k-mer windows each) — the reference's worst case
+    before the -comb split (merfin-globals.H:241,
+    merfin-variants.C:213-217).
+
+    Measures -polish clusters/s through run_variants twice on the same
+    input: with the fused device scorer (device-reduced num_m/totdk),
+    and with the host scorer on all cores (2-cluster subset — it runs
+    ~10x longer per cluster).  Output equality is checked on the
+    common subset.  Returns (device_rate, host_rate, identical).
+    """
+    import io
+    import random
+
+    from merfin_tpu.io.fasta import SeqFile
+    from merfin_tpu.io.vcf import VcfFile
+    from merfin_tpu.modes.variants import run_variants
+    from merfin_tpu.table.lookup import DeviceLookup
+    from merfin_tpu.variants.device_score import DeviceScorer
+    from merfin_tpu.kcore.pack import kmers_from_codes_np, encode_bases
+
+    rng = random.Random(17)
+    alt_of = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    gap = 400                                  # between-cluster spacing > 2k
+    n = n_clusters * (n_vars * spacing + gap) + 2 * k
+    genome = "".join(rng.choice("ACGT") for _ in range(n))
+    asm = list(genome)
+
+    rows = []   # (pos0, REF, ALT-field, GT) in assembly coordinates
+    for c in range(n_clusters):
+        base = c * (n_vars * spacing + gap) + k
+        for v in range(n_vars):
+            p = base + v * spacing
+            kind = v % 4
+            if kind == 0:      # true correction: asm error, ALT = truth
+                asm[p] = alt_of[asm[p]]
+                rows.append((p, asm[p], genome[p], "1/1"))
+            elif kind == 1:    # spurious SNP
+                rows.append((p, asm[p], alt_of[asm[p]], "1/1"))
+            elif kind == 2:    # multiallelic spurious site (3 alleles)
+                a1 = alt_of[asm[p]]
+                rows.append((p, asm[p], f"{a1},{alt_of[a1]}", "1/2"))
+            else:              # 1-bp insertion (spurious)
+                rows.append((p, asm[p], asm[p] + rng.choice("ACGT"), "1/1"))
+    asm = "".join(asm)
+
+    def canon_counts(s, mult):
+        f, r, valid = kmers_from_codes_np(encode_bases(s), k)
+        canon = np.minimum(f, r)[valid]
+        ks, cs = np.unique(canon, return_counts=True)
+        return ks.astype(np.uint64), (cs * mult).astype(np.uint32)
+
+    rk, rv = canon_counts(genome, 30)
+    ak, av = canon_counts(asm, 1)
+    read_lookup = DeviceLookup(rk, rv, k)
+    asm_lookup = DeviceLookup(ak, av, k)
+    scorer = DeviceScorer(read_lookup, asm_lookup, k, 30.0, None,
+                          max_value=int(rv.max()), exact_max=True)
+
+    with tempfile.TemporaryDirectory() as td:
+        fasta = os.path.join(td, "asm.fasta")
+        with open(fasta, "w") as f:
+            f.write(">c\n" + asm + "\n")
+        vcfp = os.path.join(td, "c.vcf")
+        with open(vcfp, "w") as f:
+            f.write("##fileformat=VCFv4.2\n##contig=<ID=c>\n"
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+            for p, ref, alt, gt in rows:
+                f.write(f"c\t{p + 1}\t.\t{ref}\t{alt}\t30\tPASS\t.\tGT\t{gt}\n")
+
+        def once(scorer_arg, out, clusters=None):
+            vcf = VcfFile(vcfp, log=io.StringIO())
+            vcf.merge_clusters(k, 15, False, log=io.StringIO())
+            if clusters is not None:   # subset
+                vcf.by_chrom = {c: v[:clusters]
+                                for c, v in vcf.by_chrom.items()}
+            n_real = sum(len(v) for v in vcf.by_chrom.values())
+            t0 = time.perf_counter()
+            run_variants("polish", SeqFile(fasta), vcf, k,
+                         read_lookup.lookup_np, asm_lookup.lookup_np,
+                         peak=30.0, prob_table=None,
+                         out_name=os.path.join(td, out),
+                         log=io.StringIO(), threads=0, scorer=scorer_arg,
+                         query_budget=1 << 22)   # one cluster per dispatch
+            return n_real / (time.perf_counter() - t0)
+
+        once(scorer, "warm_dev", clusters=1)     # compile the fused program
+        dev_rate = once(scorer, "dev")
+        dev2 = once(scorer, "dev2", clusters=2)  # equality subset
+        host_rate = once(None, "host", clusters=2)
+        a = open(os.path.join(td, "dev2.polish.vcf"), "rb").read()
+        b = open(os.path.join(td, "host.polish.vcf"), "rb").read()
+        ident = a == b
+    return dev_rate, host_rate, ident
+
+
 def main() -> None:
     from merfin_tpu.config import ensure_x64
 
@@ -210,9 +309,11 @@ def main() -> None:
         extra["hist_bases_per_sec"] = round(
             _bench_hist(keys, vals, asm_vals, k))
         extra["variant_clusters_per_sec"] = round(_bench_variants(), 1)
-    if os.environ.get("BENCH_FULL") == "1":
-        # extra compile (~minutes on a remote-compile link); opt-in so
-        # the standard bench stays inside tight time budgets
+        hv_dev, hv_host, hv_ident = _bench_variants_heavy()
+        extra["variant_clusters_per_sec_heavy"] = round(hv_dev, 2)
+        extra["variant_clusters_per_sec_heavy_hostcores"] = round(hv_host, 2)
+        extra["variant_heavy_dev_vs_host"] = round(hv_dev / hv_host, 2)
+        extra["variant_heavy_outputs_identical"] = hv_ident
         extra["count_bases_per_sec"] = round(_bench_count())
 
     best = max(rates["v1"], rates["v4"])

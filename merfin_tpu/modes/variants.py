@@ -200,6 +200,8 @@ def run_variants(
     from merfin_tpu.utils.checkpoint import Checkpoint, truncate_to
 
     assert mode in ("filter", "polish", "better", "strict", "loose")
+    assert not (debug and scorer is not None), \
+        "-debug needs per-window K* stats; use the host scorer"
     filter_mode = mode == "filter"
 
     if not threads:   # 0 = auto, like getMaxThreadsAllowed (merfin.C:108)
@@ -331,25 +333,15 @@ def run_variants(
             )
             i = j
 
-        # per-cluster selection — CPU-bound, fans out over the pool
-        # (heavy clusters only, same pickle-cost reasoning as above)
+        # per-cluster selection — runs serially in the parent: once the
+        # scores exist, selection is an integer scan over num_m plus
+        # tot_dk sums for the (small) min-missing tie set; shipping the
+        # per-window score arrays to a worker costs orders of magnitude
+        # more in pickling than the scan itself (measured: ~90 MB/cluster
+        # at comb=15), so the pool fans out enumeration only.
         tasks = [(mode, paths_list[idx], all_scores[idx], entry[0], k)
                  for idx, entry in enumerate(prepared) if entry is not None]
-        heavy = [i for i, t in enumerate(tasks)
-                 if len(t[1]) >= _POOL_MIN_PATHS] \
-            if threads and threads > 1 else []
-        if heavy:
-            heavy_set = set(heavy)
-            async_res = get_pool().map_async(_select_task,
-                                             [tasks[i] for i in heavy])
-            selected = [None] * len(tasks)
-            for i, t in enumerate(tasks):
-                if i not in heavy_set:
-                    selected[i] = _select_task(t)
-            for i, r in zip(heavy, async_res.get()):
-                selected[i] = r
-        else:
-            selected = [_select_task(t) for t in tasks]
+        selected = [_select_task(t) for t in tasks]
 
         result_parts: list[str] = []
         si = 0

@@ -44,6 +44,9 @@ class ValueMap:
         read_k, _, prob = get_k_np(v, np.zeros_like(v), peak, prob_table)
         self.read_k_host = read_k          # float64, integer-valued (or inf)
         self.prob_host = prob
+        # prob == 1.0 everywhere without a -prob table: consumers skip
+        # the stale-prob forward-fill scans entirely then
+        self.has_prob = prob_table is not None and len(prob_table) > 0
 
     def fits_u32(self, k: int) -> bool:
         """True when readK/asmK provably fit uint32 so positional

@@ -1,21 +1,30 @@
-"""Device-fused variant-path scoring.
+"""Device-fused variant-path scoring with on-device reduction.
 
 The host scorer runs table lookups on device and the per-kmer K*/delta
 math in exact IEEE f64 numpy (variants/score.py).  This module fuses the
-WHOLE per-kmer pipeline — k-mer extraction, dual exact lookup, getK, the
-new-kmer asmK+1 adjustment, |K*| and delta-multiplicity — into one
-jitted dispatch over the packed path stream (varMer::score semantics,
-varMer.C:76-135, as a flat array program).  Selectors stay on the host.
+WHOLE per-path pipeline — k-mer extraction, dual exact lookup, getK, the
+new-kmer asmK+1 adjustment, |K*|, delta-multiplicity AND the per-path
+reduction — into one jitted dispatch over the packed path stream
+(varMer::score semantics, varMer.C:76-135, as a flat array program).
+Selectors stay on the host.
 
-Exactness: numM (the missing count) is exact on every backend — it only
-depends on readK == 0, an integer gather.  The -filter/-better/-strict/
--loose selectors consume ONLY numM and sequence lengths (varMer.C:
-150-199,204-395), so fused device scoring is provably byte-identical for
-those modes and is the default there.  -polish tie-breaks compare
-float sums of dkstr (varMer.C:427-447); accelerator f64 is emulated
-(~48-bit), so -polish keeps the host scorer unless -devscore is given.
-On CPU backends the fused results are bit-identical to the host scorer
-for ALL modes (tested).
+The selectors never consume per-window values: they need only each
+path's missing count numM and (for -polish ties) the delta sum totdk
+(varMer.C:150-467,648-659).  So the device program reduces to TWO
+scalars per path with sorted segment sums and ships [P] arrays back —
+16 bytes/path instead of 16 bytes/WINDOW (a 32768-path comb=15 cluster
+returns 512 KB instead of ~270 MB, which is what makes fused scoring
+win on a remotely-attached chip).
+
+Exactness: numM is exact on every backend — it is an integer segment
+count, with the always-missing separator/tail windows subtracted on the
+host from known span arithmetic.  The -filter/-better/-strict/-loose
+selectors consume ONLY numM and sequence lengths, so fused device
+scoring is byte-identical for those modes and is the default there.
+-polish tie-breaks compare (int-truncated) f64 sums of dkstr
+(varMer.C:427-447): the device segment sum may differ from the host
+scorer's np.sum in final ulps (and accelerator f64 is emulated at
+~48 bits), so -polish keeps the host scorer unless -devscore is given.
 
 DeviceScorer probes single-device gather tables; ShardedScorer runs the
 same program under shard_map over a ("d", "t") mesh, probing table
@@ -37,10 +46,12 @@ from merfin_tpu.score.value_map import ValueMap
 
 def _planes_from_bits(adj_bits, mark_bits, n):
     """Unpack the adjust bitmask and path-start marks shipped across the
-    link (1 bit/window each instead of 1+8 bytes) back into planes.
-    path_start[i] = index of the last mark at or before i; windows in
-    the tail padding (no further marks) inherit the last path's start,
-    but their outputs are sliced off by the caller."""
+    link (1 bit/window each instead of 1+8 bytes).  Returns (adjust
+    bool [n], path_start int64 [n], seg int32 [n]): path_start[i] is the
+    window index of i's path start (forward-fill reset boundary) and
+    seg[i] its 0-based path id; windows in the tail padding (no further
+    marks) join the last path's segment, but they are always-missing and
+    the caller subtracts them from known span arithmetic."""
     import jax
     import jax.numpy as jnp
 
@@ -50,12 +61,13 @@ def _planes_from_bits(adj_bits, mark_bits, n):
     mk = ((mark_bits[:, None] >> bsh) & jnp.uint8(1)).reshape(-1)[:n]
     midx = jnp.arange(n, dtype=jnp.int64)
     path_start = jax.lax.cummax(jnp.where(mk == 1, midx, jnp.int64(-1)))
-    return adjust, path_start
+    seg = jnp.cumsum(mk.astype(jnp.int32)) - 1
+    return adjust, path_start, seg
 
 
 def _stream_math(value_map, vm, read_v, asm_v, valid, adjust, path_start):
     """getK + K*/delta math on the flat window axis (device mirror of
-    score._flat_math, bit-identical on CPU backends — tested)."""
+    score._flat_math)."""
     import jax
     import jax.numpy as jnp
 
@@ -64,30 +76,45 @@ def _stream_math(value_map, vm, read_v, asm_v, valid, adjust, path_start):
     read_k = jnp.where(valid, read_k, 0.0)
     asm_k = jnp.where(valid, asm_k, 0.0)
 
-    # stale-prob forward fill, reset at path starts (varMer.C:60,84
-    # semantics; see score._flat_math)
-    n = read_k.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int64)
-    vi = jnp.where(valid, idx, jnp.int64(-1))
-    last = jax.lax.cummax(vi)
-    prob_f = jnp.where(last >= path_start,
-                       prob[jnp.clip(last, 0, None)], 1.0)
+    if value_map.has_prob:
+        # stale-prob forward fill, reset at path starts (varMer.C:60,84
+        # semantics; see score._flat_math)
+        n = read_k.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int64)
+        vi = jnp.where(valid, idx, jnp.int64(-1))
+        last = jax.lax.cummax(vi)
+        prob_f = jnp.where(last >= path_start,
+                           prob[jnp.clip(last, 0, None)], 1.0)
+    else:
+        # prob is identically 1.0: the fill (and path_start's cummax,
+        # now unconsumed) dead-code-eliminates out of the program
+        prob_f = 1.0
 
+    missing = read_k == 0
     o_delta = jnp.abs(read_k - asm_k) * prob_f
     asm_adj = asm_k + adjust.astype(jnp.float64)
-    over = read_k / asm_adj - 1.0
-    under = asm_adj / read_k - 1.0
-    kstr = jnp.where(read_k == 0, -1.0,
-                     jnp.where(read_k > asm_adj, over, under))
     n_delta = jnp.abs(read_k - asm_adj) * prob_f
-    return kstr, o_delta - n_delta, overflow
+    return missing, o_delta - n_delta, overflow
+
+
+def _segment_reduce(missing, dkstr, seg, p_seg):
+    """Per-path (missing count, dkstr sum) via sorted segment sums."""
+    import jax
+    import jax.numpy as jnp
+
+    num_m = jax.ops.segment_sum(missing.astype(jnp.int32), seg,
+                                num_segments=p_seg,
+                                indices_are_sorted=True)
+    totdk = jax.ops.segment_sum(dkstr, seg, num_segments=p_seg,
+                                indices_are_sorted=True)
+    return num_m, totdk
 
 
 def _pack_inputs(codes: np.ndarray, adjust: np.ndarray,
-                 path_start: np.ndarray, k: int):
+                 starts: np.ndarray, k: int):
     """Host-side transfer packing shared by both scorers: pad the stream
     to a power of two (compiled-shape reuse), 2-bit code planes +
-    validity bits, and 1-bit adjust/mark planes."""
+    validity bits, and 1-bit adjust/path-start-mark planes."""
     from merfin_tpu.kcore.pack import pack_transfer_np
 
     n = max(0, codes.shape[0] - k + 1)
@@ -98,10 +125,25 @@ def _pack_inputs(codes: np.ndarray, adjust: np.ndarray,
     adj_p = np.zeros(p, dtype=bool)
     adj_p[:n] = adjust[:n]
     marks = np.zeros(p, dtype=bool)
-    marks[:n] = path_start[:n] == np.arange(n, dtype=np.int64)
+    s = starts[:-1]
+    marks[s[s < n]] = True
     return (p, n, planes, vbits,
             np.packbits(adj_p, bitorder="little"),
             np.packbits(marks, bitorder="little"))
+
+
+def _num_m_exact(seg_mis: np.ndarray, starts: np.ndarray, nis: np.ndarray,
+                 p: int) -> np.ndarray:
+    """Subtract the always-missing separator/tail windows of each path's
+    segment: segment i spans [starts[i], starts[i+1]) (the last one to
+    the padded end p); its windows beyond the path's ni are separator-
+    or padding-spanning, hence invalid, hence counted missing by the
+    device.  Integer arithmetic — exact on every backend."""
+    P = nis.shape[0]
+    spans = np.empty(P, dtype=np.int64)
+    spans[:-1] = np.diff(starts[:-1])
+    spans[-1] = p - starts[P - 1]
+    return np.where(nis == 0, 0, seg_mis[:P].astype(np.int64) - (spans - nis))
 
 
 class DeviceScorer:
@@ -119,45 +161,51 @@ class DeviceScorer:
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
                                   exact_max=exact_max)
         self.overflow_values = 0
-        self._impl = jax.jit(self._score_stream, static_argnums=0)
+        self._impl = jax.jit(self._score_stream, static_argnums=(0, 1))
 
-    def _score_stream(self, n, r_tree, a_tree, vm, planes, vbits,
+    def _score_stream(self, n, p_seg, r_tree, a_tree, vm, planes, vbits,
                       adj_bits, mark_bits):
-        """Transfer-packed path stream -> (kstr [n], dkstr [n], overflow).
+        """Packed path stream -> (num_m [p_seg], totdk [p_seg], overflow).
 
         planes/vbits: 2-bit codes + validity of the packed path stream
         (kcore.pack.pack_transfer_np of codes u8 [n + k - 1], paths
         separated by k-1 invalid bases); adj_bits/mark_bits: 1-bit
         planes (see _planes_from_bits).  With the 2-bit codes this is
-        ~16x fewer input bytes than u8 codes + i64 path_start.
+        ~16x fewer input bytes than u8 codes + i64 path_start, and the
+        per-path reduction ships ~windows/paths x fewer bytes back.
         """
         from merfin_tpu.ops.kmer_ops import unpack_transfer
 
         codes = unpack_transfer(planes, vbits, n + self.k - 1)
-        adjust, path_start = _planes_from_bits(adj_bits, mark_bits, n)
+        adjust, path_start, seg = _planes_from_bits(adj_bits, mark_bits, n)
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
         read_v = self.read_lookup.lookup_with(
             r_tree, canon).astype(np.uint64) * mult
         asm_v = self.asm_lookup.lookup_with(
             a_tree, canon).astype(np.uint64) * mult
-        return _stream_math(self.value_map, vm, read_v, asm_v, valid,
-                            adjust, path_start)
+        missing, dkstr, overflow = _stream_math(
+            self.value_map, vm, read_v, asm_v, valid, adjust, path_start)
+        num_m, totdk = _segment_reduce(missing, dkstr, seg, p_seg)
+        return num_m, totdk, overflow
 
-    def score_stream(self, codes: np.ndarray, adjust: np.ndarray,
-                     path_start: np.ndarray):
-        """Numpy-in/numpy-out; pads to a power of two for shape reuse."""
+    def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
+                    starts: np.ndarray, nis: np.ndarray):
+        """Numpy-in/numpy-out: (num_m int64 [P], totdk f64 [P]).
+        Pads stream and path count to powers of two for shape reuse."""
         p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
-            codes, adjust, path_start, self.k)
-        if n == 0:
-            return np.zeros(0), np.zeros(0)
-        kstr, dkstr, overflow = self._impl(
-            p, self.read_lookup.tree(), self.asm_lookup.tree(),
+            codes, adjust, starts, self.k)
+        P = nis.shape[0]
+        if n == 0 or P == 0:
+            return np.zeros(P, np.int64), np.zeros(P)
+        p_seg = max(64, 1 << (P - 1).bit_length())
+        seg_mis, totdk, overflow = self._impl(
+            p, p_seg, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays(), planes, vbits,
             adj_bits, mark_bits)
         self.overflow_values += int(overflow)
-        with np.errstate(all="ignore"):
-            return (np.asarray(kstr)[:n], np.asarray(dkstr)[:n])
+        return (_num_m_exact(np.asarray(seg_mis), starts, nis, p),
+                np.asarray(totdk)[:P])
 
 
 class ShardedScorer:
@@ -166,10 +214,10 @@ class ShardedScorer:
     The query stream is replicated across the mesh; every device probes
     its local sorted table shard and the partial values combine with one
     psum over the "t" axis (exactly parallel.sharded.ShardedLookup's
-    probe), then the K*/delta math runs replicated.  The "d" axis adds
-    table memory headroom, not variant throughput — matching the spans
-    design where every rank evaluates every cluster
-    (modes/variants.py)."""
+    probe), then the K*/delta math and per-path reduction run
+    replicated.  The "d" axis adds table memory headroom, not variant
+    throughput — matching the spans design where every rank evaluates
+    every cluster (modes/variants.py)."""
 
     def __init__(self, mesh, read_sharded, asm_sharded, k: int, peak: float,
                  prob_table: ProbTable | None, max_value: int | None = None,
@@ -182,12 +230,12 @@ class ShardedScorer:
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
                                   exact_max=exact_max)
         self.overflow_values = 0
-        self._runs: dict[int, object] = {}   # padded size -> jitted step
+        self._runs: dict[tuple[int, int], object] = {}  # (p, p_seg) -> step
 
-    def _build(self, p: int):
-        """Jitted shard_map step for padded window count ``p`` (cached:
-        _pack_inputs quantizes to powers of two, so a run compiles a
-        handful of shapes)."""
+    def _build(self, p: int, p_seg: int):
+        """Jitted shard_map step for padded window count ``p`` and path
+        count ``p_seg`` (cached: _pack_inputs quantizes to powers of
+        two, so a run compiles a handful of shapes)."""
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -208,15 +256,18 @@ class ShardedScorer:
         def step(rk, rv, ak, av, vm_rk, vm_pr, planes, vbits,
                  adj_bits, mark_bits):
             codes = unpack_transfer(planes, vbits, p + k - 1)
-            adjust, path_start = _planes_from_bits(adj_bits, mark_bits, p)
+            adjust, path_start, seg = _planes_from_bits(adj_bits, mark_bits, p)
             fmer, rmer, valid = kmer_windows(codes, k)
             canon, mult = canonical_and_mult(fmer, rmer)
             read_v = jax.lax.psum(_local_probe(rk[0], rv[0], canon), "t")
             asm_v = jax.lax.psum(_local_probe(ak[0], av[0], canon), "t")
             read_v = read_v.astype(jnp.uint64) * mult
             asm_v = asm_v.astype(jnp.uint64) * mult
-            return _stream_math(value_map, (vm_rk, vm_pr), read_v, asm_v,
-                                valid, adjust, path_start)
+            missing, dkstr, overflow = _stream_math(
+                value_map, (vm_rk, vm_pr), read_v, asm_v, valid, adjust,
+                path_start)
+            num_m, totdk = _segment_reduce(missing, dkstr, seg, p_seg)
+            return num_m, totdk, overflow
 
         rk_dev = jnp.asarray(value_map.read_k_host)
         pr_dev = jnp.asarray(value_map.prob_host)
@@ -229,17 +280,19 @@ class ShardedScorer:
 
         return run
 
-    def score_stream(self, codes: np.ndarray, adjust: np.ndarray,
-                     path_start: np.ndarray):
+    def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
+                    starts: np.ndarray, nis: np.ndarray):
         """Numpy-in/numpy-out; same contract as DeviceScorer."""
         p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
-            codes, adjust, path_start, self.k)
-        if n == 0:
-            return np.zeros(0), np.zeros(0)
-        run = self._runs.get(p)
+            codes, adjust, starts, self.k)
+        P = nis.shape[0]
+        if n == 0 or P == 0:
+            return np.zeros(P, np.int64), np.zeros(P)
+        p_seg = max(64, 1 << (P - 1).bit_length())
+        run = self._runs.get((p, p_seg))
         if run is None:
-            run = self._runs[p] = self._build(p)
-        kstr, dkstr, overflow = run(planes, vbits, adj_bits, mark_bits)
+            run = self._runs[(p, p_seg)] = self._build(p, p_seg)
+        seg_mis, totdk, overflow = run(planes, vbits, adj_bits, mark_bits)
         self.overflow_values += int(overflow)
-        with np.errstate(all="ignore"):
-            return (np.asarray(kstr)[:n], np.asarray(dkstr)[:n])
+        return (_num_m_exact(np.asarray(seg_mis), starts, nis, p),
+                np.asarray(totdk)[:P])

@@ -39,6 +39,10 @@ class PathScore:
     num_m: int
     kstr: np.ndarray     # float64 [num_kmer_positions]; empty in filter mode
     dkstr: np.ndarray    # float64 [num_kmer_positions]; empty in filter mode
+    # getTotdK (varMer.C:648-659) when reduced on DEVICE (fused scorer):
+    # the per-window arrays never leave the chip then, and select.tot_dk
+    # uses this scalar.  None on the host path (lazy np.sum of dkstr).
+    totdk: float | None = None
 
 
 def _pack_stream(all_paths: list[VarPath], k: int):
@@ -127,15 +131,20 @@ def _flat_math(read_v, asm_v, valid, adjust, path_start, base, peak,
     # The reference's `prob` local is only written by getK on VALID kmers
     # (varMer.C:60,84); invalid positions see the previous valid kmer's
     # prob within the same path (uninitialized before the first valid
-    # one — we use 1.0 there).
-    n = read_k.shape[0]
-    idx = np.arange(base, base + n, dtype=np.int64)
-    vi = np.where(valid, idx, -1)
-    last = np.maximum.accumulate(vi)
-    prob = np.where(last >= path_start,
-                    prob[np.clip(last - base, 0, None)], 1.0)
+    # one — we use 1.0 there).  Without a -prob table prob is identically
+    # 1.0 and the fill is skipped.
+    if prob_table is not None and len(prob_table) > 0:
+        n = read_k.shape[0]
+        idx = np.arange(base, base + n, dtype=np.int64)
+        vi = np.where(valid, idx, -1)
+        last = np.maximum.accumulate(vi)
+        prob = np.where(last >= path_start,
+                        prob[np.clip(last - base, 0, None)], 1.0)
+        o_delta = np.abs(read_k - asm_k) * prob
+    else:
+        prob = 1.0
+        o_delta = np.abs(read_k - asm_k)
 
-    o_delta = np.abs(read_k - asm_k) * prob
     asm_adj = asm_k + adjust
     with np.errstate(divide="ignore", invalid="ignore"):
         over = read_k / asm_adj - 1.0
@@ -225,29 +234,36 @@ def score_path_groups(
     stream, starts = _pack_stream(all_paths, k)
     n_win = max(0, stream.shape[0] - k + 1)
     adjust, path_start = _flat_planes(all_paths, starts, n_win, k)
+    empty = np.zeros(0)
 
     if scorer is not None:
-        kstr, dkstr = scorer.score_stream(stream, adjust, path_start)
-        missing = kstr == -1.0   # exact: missing windows are set to -1.0
+        # fused + device-reduced: two scalars per path come back
+        nis = np.asarray([max(0, len(p.seq) - k + 1) for p in all_paths],
+                         dtype=np.int64)
+        num_m_arr, totdk_arr = scorer.score_paths(stream, adjust, starts, nis)
+        flat_scores = [
+            PathScore(int(num_m_arr[i]), empty, empty,
+                      totdk=0.0 if filter_mode else float(totdk_arr[i]))
+            for i in range(len(all_paths))
+        ]
     else:
         missing, kstr, dkstr = _score_stream_host(
             stream, starts, adjust, path_start, k, lookup_read, lookup_asm,
             peak, prob_table, filter_mode, threads)
 
-    # per-path extraction: num_m via one cumsum, kstr/dkstr as views
-    csum = np.zeros(n_win + 1, dtype=np.int64)
-    np.cumsum(missing, out=csum[1:])
-    empty = np.zeros(0)
-    flat_scores: list[PathScore] = []
-    for i, p in enumerate(all_paths):
-        a = int(starts[i])
-        ni = max(0, len(p.seq) - k + 1)
-        num_m = int(csum[a + ni] - csum[a])
-        if filter_mode or kstr is None:
-            flat_scores.append(PathScore(num_m, empty, empty))
-        else:
-            flat_scores.append(
-                PathScore(num_m, kstr[a: a + ni], dkstr[a: a + ni]))
+        # per-path extraction: num_m via one cumsum, kstr/dkstr as views
+        csum = np.zeros(n_win + 1, dtype=np.int64)
+        np.cumsum(missing, out=csum[1:])
+        flat_scores = []
+        for i, p in enumerate(all_paths):
+            a = int(starts[i])
+            ni = max(0, len(p.seq) - k + 1)
+            num_m = int(csum[a + ni] - csum[a])
+            if filter_mode or kstr is None:
+                flat_scores.append(PathScore(num_m, empty, empty))
+            else:
+                flat_scores.append(
+                    PathScore(num_m, kstr[a: a + ni], dkstr[a: a + ni]))
 
     out: list[list[PathScore]] = []
     qi = 0

@@ -96,7 +96,10 @@ def get_het_record(pos_gt: PosGT, gt1: list[int], gt2: list[int]) -> str:
 
 
 def tot_dk(score: PathScore) -> float:
-    """getTotdK (varMer.C:648-659)."""
+    """getTotdK (varMer.C:648-659); device-reduced scores carry it as a
+    precomputed scalar (the per-window arrays never left the chip)."""
+    if score.totdk is not None:
+        return score.totdk
     return float(np.sum(score.dkstr)) if score.dkstr.size else 0.0
 
 

@@ -233,30 +233,34 @@ def test_sharded_scorer_matches_host(world, tmp_path):
 
 
 def test_device_scorer_raw_scores_match(world):
-    """PathScore arrays (kstr/dkstr/num_m) from the device scorer equal
-    the host scorer's exactly on CPU — not just the selected records."""
+    """Device-reduced per-path results (num_m exactly, totdk to f64
+    roundoff) match the host scorer's — not just the selected records.
+    Includes a zero-length-window path (ref shorter than k after a
+    deletion) to exercise the nis==0 host-side correction."""
     import numpy as np
 
     from merfin_tpu.variants.device_score import DeviceScorer
     from merfin_tpu.variants.score import score_path_groups
     from merfin_tpu.variants.enumerate import enumerate_paths
+    from merfin_tpu.variants import select
 
     rl = build_lookup(world["read_db"])
     al = build_lookup(world["asm_db"])
     asm = world["asm"]
-    # two clusters incl. an indel path to exercise idx shifts
+    # clusters incl. indel paths (idx shifts) and a window shorter than k
     g1 = enumerate_paths(asm[140:170], [10], [1],
                          [[asm[150], "T", ""]])
     g2 = enumerate_paths(asm[390:420], [10, 14], [1, 1],
                          [[asm[400], "A"], [asm[404], "GG"]])
-    host = score_path_groups([g1, g2], K, rl.lookup_np, al.lookup_np,
+    g3 = enumerate_paths(asm[200:208], [2], [5], [[asm[202:207], "C"]])
+    host = score_path_groups([g1, g2, g3], K, rl.lookup_np, al.lookup_np,
                              30.0, None, False)
     scorer = DeviceScorer(rl, al, K, 30.0, None)
-    dev = score_path_groups([g1, g2], K, rl.lookup_np, al.lookup_np,
+    dev = score_path_groups([g1, g2, g3], K, rl.lookup_np, al.lookup_np,
                             30.0, None, False, scorer=scorer)
     for hg, dg in zip(host, dev):
         assert len(hg) == len(dg)
         for h, d in zip(hg, dg):
             assert h.num_m == d.num_m
-            np.testing.assert_array_equal(h.kstr, d.kstr)
-            np.testing.assert_array_equal(h.dkstr, d.dkstr)
+            np.testing.assert_allclose(select.tot_dk(d), select.tot_dk(h),
+                                       rtol=1e-12, atol=1e-12)
