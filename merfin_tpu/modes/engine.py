@@ -22,9 +22,21 @@ from merfin_tpu.config import ensure_x64
 from merfin_tpu.ops.kmer_ops import kmer_windows, canonical_and_mult
 from merfin_tpu.score.kstar import ProbTable
 
-NBINS = 1 << 14          # k* histogram bins per side (ratio up to ~3277)
+NBINS = 1 << 14          # default k* bins per side (ratio up to ~3277)
 PAD_CODE = 4
 SEG_MAX = 1024           # max sequences packed into one -hist dispatch
+
+
+class BinOverflow(RuntimeError):
+    """A k* histogram bin exceeded the engine's current nbins.  The
+    reference grows its undr/over arrays dynamically (increaseArray,
+    merfin-histogram.C:105-124); run_hist catches this, grows the
+    engine's bins (recompile) and retries the failed sequence/group."""
+
+    def __init__(self, max_idx: int, nbins: int):
+        super().__init__(
+            f"k* histogram bin {max_idx} exceeds nbins={nbins}")
+        self.max_idx = int(max_idx)
 
 
 @dataclasses.dataclass
@@ -34,14 +46,14 @@ class SeqStats:
     kover_cpy: float = 0.0
 
 
-def zero_hist_state():
+def zero_hist_state(nbins: int = NBINS):
     """Initial device state for hist accumulation (single-device and
     sharded engines share this layout — keep the fold in sync via
     fold_hist_state)."""
     import jax.numpy as jnp
 
     return (jnp.int64(0), jnp.int64(0), jnp.float64(0.0),
-            jnp.zeros(NBINS, jnp.int64), jnp.zeros(NBINS, jnp.int64),
+            jnp.zeros(nbins, jnp.int64), jnp.zeros(nbins, jnp.int64),
             jnp.int64(0), jnp.int64(0), jnp.int64(0))
 
 
@@ -105,25 +117,26 @@ def pack_group_transfer(seqs, k: int, chunk: int, rows: int, capacity: int):
     return planes, vbits, marks_bits, base.astype(np.int32), starts
 
 
-def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over):
+def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over,
+                     nbins: int = NBINS):
     """The two k* histograms via ONE device sort + boundary search.
 
     jnp.bincount lowers to scatter-add, which costs ~10x a sort on this
     TPU (measured: 291 ms vs ~30 ms per 2.1M-window dispatch, see
     docs/PERF.md).  Windows are undr XOR over XOR neither, so both
-    histograms pack into one composite index space [0, 2*NBINS]:
+    histograms pack into one composite index space [0, 2*nbins]:
     sort it, then bin counts are differences of searchsorted boundaries.
     """
     import jax.numpy as jnp
 
     comp = jnp.where(
-        is_undr, jnp.clip(undr_idx, 0, NBINS - 1),
-        jnp.where(is_over, NBINS + jnp.clip(over_idx, 0, NBINS - 1),
-                  2 * NBINS))
+        is_undr, jnp.clip(undr_idx, 0, nbins - 1),
+        jnp.where(is_over, nbins + jnp.clip(over_idx, 0, nbins - 1),
+                  2 * nbins))
     s = jnp.sort(comp.reshape(-1).astype(jnp.int32))
-    bounds = jnp.searchsorted(s, jnp.arange(2 * NBINS + 1, dtype=jnp.int32))
+    bounds = jnp.searchsorted(s, jnp.arange(2 * nbins + 1, dtype=jnp.int32))
     counts = jnp.diff(bounds).astype(jnp.int64)
-    return counts[:NBINS], counts[NBINS: 2 * NBINS]
+    return counts[:nbins], counts[nbins: 2 * nbins]
 
 
 def seg_counts_by_sort(seg, valid, missing):
@@ -276,6 +289,20 @@ class KstarEngine:
         # input bytes) and group seg planes as boundary-mark bitmasks
         # (32x) — the device programs unpack first, bit-exactly.
         self.pack_transfer = bool(pack_transfer)
+        self.nbins = NBINS
+        self._make_jits()
+        # packed-group capacity (positions) for fragmented assemblies
+        self.group_capacity = self.batch * self.chunk
+        # dump_group always rides the gather tables (positional output),
+        # whose [windows, R] take temporaries OOM a 16 GB HBM at the
+        # sortjoin default batch=16 — cap its packed rows independently
+        # of self.batch so one engine can serve both modes.
+        self.dump_batch = min(self.batch, 4)
+        self.dump_group_capacity = self.dump_batch * self.chunk
+
+    def _make_jits(self):
+        import jax
+
         if self.pack_transfer:
             self._hist_step_impl = jax.jit(self._hist_chunk_acc_packed,
                                            donate_argnums=0)
@@ -288,14 +315,14 @@ class KstarEngine:
             self._hist_group_impl = jax.jit(self._hist_group_chunk)
             self._dump_step_impl = jax.jit(self._dump_chunk)
             self._dump_group_impl = jax.jit(self._dump_group_chunk)
-        # packed-group capacity (positions) for fragmented assemblies
-        self.group_capacity = self.batch * self.chunk
-        # dump_group always rides the gather tables (positional output),
-        # whose [windows, R] take temporaries OOM a 16 GB HBM at the
-        # sortjoin default batch=16 — cap its packed rows independently
-        # of self.batch so one engine can serve both modes.
-        self.dump_batch = min(self.batch, 4)
-        self.dump_group_capacity = self.dump_batch * self.chunk
+
+    def grow_bins(self, min_bins: int) -> None:
+        """Grow the k* histogram bin count (power of two >= min_bins) and
+        recompile the hist programs — increaseArray semantics
+        (merfin-histogram.C:105-124); run_hist retries the failed
+        sequence/group after calling this."""
+        self.nbins = max(self.nbins * 2, 1 << (min_bins - 1).bit_length())
+        self._make_jits()
 
     def _step_args(self):
         if self.sortjoin:
@@ -316,7 +343,7 @@ class KstarEngine:
                                     self.bin_table.device_arrays())
 
     def _zero_hist_state(self):
-        return zero_hist_state()
+        return zero_hist_state(self.nbins)
 
     def _dump_step(self, codes):
         # dump always uses the gather tables (it needs positional output)
@@ -402,7 +429,7 @@ class KstarEngine:
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
         undr_hist, over_hist = two_hist_by_sort(
-            undr_idx, over_idx, is_undr, is_over)
+            undr_idx, over_idx, is_undr, is_over, self.nbins)
         return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 
@@ -463,7 +490,7 @@ class KstarEngine:
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
         undr_hist, over_hist = two_hist_by_sort(
-            undr_idx, over_idx, is_undr, is_over)
+            undr_idx, over_idx, is_undr, is_over, self.nbins)
         return (kasm_seg, kmis_seg, kover, undr_hist, over_hist, max_idx,
                 overflow, fallbacks)
 
@@ -512,6 +539,35 @@ class KstarEngine:
                                             batch, capacity)
         return (codes_b, seg_b), starts
 
+    def hist_group_dispatch(self, seqs):
+        """Dispatch one packed-group -hist step; returns an opaque handle
+        of in-flight device results.  The caller overlaps the next
+        group's host packing/transfer with this one's device compute and
+        fetches via hist_group_finalize (modes/hist.py keeps 2 in
+        flight — the sweatShop loader-queue analog for a remotely
+        attached chip, where the fetch round-trip otherwise serializes
+        every dispatch)."""
+        n_seq = len(seqs)
+        inputs, _ = self._group_inputs(seqs)
+        out = self._hist_group_impl(*inputs, *self._step_args(),
+                                    self.bin_table.device_arrays())
+        return n_seq, out
+
+    def hist_group_finalize(self, handle):
+        """Fetch one hist_group_dispatch's results:
+        (stats_list, undr, over, kover_total)."""
+        n_seq, (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
+                overflow, fallbacks) = handle
+        self.overflow_values += int(overflow)
+        self.bin_fallbacks += int(fallbacks)
+        if int(max_idx) >= self.nbins:
+            raise BinOverflow(int(max_idx), self.nbins)
+        kasm_seg = np.asarray(kasm_seg)
+        kmis_seg = np.asarray(kmis_seg)
+        stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
+                 for i in range(n_seq)]
+        return stats, np.asarray(uh), np.asarray(oh), float(kover)
+
     def hist_group(self, seqs):
         """-hist for a PACKED group of small sequences (one dispatch).
 
@@ -522,24 +578,7 @@ class KstarEngine:
         (merfin-histogram.C accumulates them globally), per-sequence QV
         needs only kasm/kmissing.
         """
-        n_seq = len(seqs)
-        inputs, _ = self._group_inputs(seqs)
-
-        (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
-         overflow, fallbacks) = self._hist_group_impl(
-            *inputs, *self._step_args(),
-            self.bin_table.device_arrays())
-        self.overflow_values += int(overflow)
-        self.bin_fallbacks += int(fallbacks)
-        if int(max_idx) >= NBINS:
-            raise RuntimeError(
-                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
-                "increase merfin_tpu.modes.engine.NBINS")
-        kasm_seg = np.asarray(kasm_seg)
-        kmis_seg = np.asarray(kmis_seg)
-        stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
-                 for i in range(n_seq)]
-        return stats, np.asarray(uh), np.asarray(oh), float(kover)
+        return self.hist_group_finalize(self.hist_group_dispatch(seqs))
 
     def _dump_group_chunk(self, codes, seg, r_tree, a_tree, vm):
         """Packed-group -dump step: positional readK/asmK for a batch of
@@ -633,41 +672,62 @@ class KstarEngine:
             buf[: piece.shape[0]] = piece
             yield start, buf
 
+    def _put_hist_inputs(self, codes_b: np.ndarray):
+        """Pack one batch and START its host->device transfer
+        (jax.device_put).  Runs on the prefetch thread so the transfer
+        of batch i+1 overlaps batch i's device compute."""
+        import jax
+
+        if self.pack_transfer:
+            from merfin_tpu.kcore.pack import pack_transfer_np
+
+            planes, vbits = pack_transfer_np(codes_b)
+            return (jax.device_put(planes), jax.device_put(vbits))
+        return (jax.device_put(codes_b),)
+
     def hist_sequence(self, codes: np.ndarray) -> tuple[SeqStats, np.ndarray, np.ndarray]:
         """Full -hist stats for one sequence's code array.
 
-        The per-batch results fold into a device-resident state; the host
-        fetches ONCE per sequence, so batches pipeline asynchronously (no
-        dispatch/fetch round trip per batch).
+        The per-batch results fold into a device-resident state and the
+        host fetches ONCE per sequence; input packing + transfer runs 2
+        batches ahead on a prefetch thread.  Together the dispatch loop
+        never blocks on the link: transfer(i+1) || compute(i), no fetch
+        round trip per batch.
         """
         stats = SeqStats()
-        undr = np.zeros(NBINS, dtype=np.int64)
-        over = np.zeros(NBINS, dtype=np.int64)
+        undr = np.zeros(self.nbins, dtype=np.int64)
+        over = np.zeros(self.nbins, dtype=np.int64)
         if codes.shape[0] < self.k:
             return stats, undr, over
 
+        def packed_batches():
+            batch_buf = []
+            for _, buf in self.chunks_of(codes):
+                batch_buf.append(buf)
+                if len(batch_buf) == self.batch:
+                    yield self._put_hist_inputs(np.stack(batch_buf))
+                    batch_buf = []
+            if batch_buf:
+                # pad with all-invalid rows to keep one compiled shape
+                while len(batch_buf) < self.batch:
+                    batch_buf.append(np.full(self.chunk + self.k - 1,
+                                             PAD_CODE, np.uint8))
+                yield self._put_hist_inputs(np.stack(batch_buf))
+
+        from merfin_tpu.utils.prefetch import prefetch_iter
+
         state = self._zero_hist_state()
-        batch_buf = []
-        for _, buf in self.chunks_of(codes):
-            batch_buf.append(buf)
-            if len(batch_buf) == self.batch:
-                state = self._hist_step(state, np.stack(batch_buf))
-                batch_buf = []
-        if batch_buf:
-            # pad the batch with all-invalid rows to keep one compiled shape
-            while len(batch_buf) < self.batch:
-                batch_buf.append(np.full(self.chunk + self.k - 1, PAD_CODE, np.uint8))
-            state = self._hist_step(state, np.stack(batch_buf))
+        step_args = self._step_args()
+        bins = self.bin_table.device_arrays()
+        for inputs in prefetch_iter(packed_batches(), depth=2):
+            state = self._hist_step_impl(state, *inputs, *step_args, bins)
 
         (kasm, kmissing, kover, uh, oh, max_idx,
          overflow, fallbacks) = state
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
-        if int(max_idx) >= NBINS:
-            raise RuntimeError(
-                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
-                "increase merfin_tpu.modes.engine.NBINS"
-            )
+        if int(max_idx) >= self.nbins:
+            raise BinOverflow(int(max_idx), self.nbins)
         stats.kasm = int(kasm)
         stats.kmissing = int(kmissing)
         stats.kover_cpy = float(kover)

@@ -16,7 +16,7 @@ import numpy as np
 
 from merfin_tpu.io.compressed import open_write_text
 from merfin_tpu.io.fasta import SeqFile
-from merfin_tpu.modes.engine import KstarEngine, NBINS
+from merfin_tpu.modes.engine import KstarEngine, NBINS, BinOverflow
 from merfin_tpu.score.kstar import histo_qv
 
 
@@ -29,8 +29,18 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     g_missing = 0
     g_kasm = 0
     g_kover = 0.0
-    g_undr = np.zeros(NBINS, dtype=np.int64)
-    g_over = np.zeros(NBINS, dtype=np.int64)
+    g_undr = np.zeros(getattr(engine, "nbins", NBINS), dtype=np.int64)
+    g_over = np.zeros(getattr(engine, "nbins", NBINS), dtype=np.int64)
+
+    def grow(min_bins: int):
+        """Grow the engine's bin count (recompile) and the global
+        accumulators — increaseArray semantics (merfin-histogram.C:
+        105-124); the caller retries the failed sequence/group."""
+        nonlocal g_undr, g_over
+        engine.grow_bins(min_bins)
+        print(f"-- Growing k* histogram to {engine.nbins} bins.", file=log)
+        g_undr = np.pad(g_undr, (0, engine.nbins - g_undr.size))
+        g_over = np.pad(g_over, (0, engine.nbins - g_over.size))
 
     # Multi-host, two shapes:
     #  * striped (single-device engine): every process takes its sequence
@@ -53,6 +63,9 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
         skip = st["seqs_done"]
         a = st["accum"]
         g_missing, g_kasm, g_kover = a["missing"], a["kasm"], a["kover"]
+        need = max(len(a["undr"]), len(a["over"]))
+        if need > g_undr.size:     # the interrupted run had grown bins
+            grow(need)
         g_undr[: len(a["undr"])] = a["undr"]
         g_over[: len(a["over"])] = a["over"]
         print(f"-- Resuming after {skip} sequences.", file=log)
@@ -83,29 +96,53 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     # Fragmented assemblies: pack many small sequences into ONE device
     # dispatch (engine.hist_group, per-sequence stats via segment
     # reduction) instead of paying a padded dispatch per scaffold.
+    # Dispatches PIPELINE: up to 2 groups stay in flight (dispatch then
+    # fetch the oldest), so group i+1's host packing + input transfer
+    # overlaps group i's device compute — without this, every group
+    # pays the full dispatch->fetch round trip of a remotely attached
+    # chip (the sweatShop loader queue, merfin.C:404, as async device
+    # dispatch).
+    from collections import deque
+
     cap = getattr(engine, "group_capacity", 0) \
-        if hasattr(engine, "hist_group") else 0
+        if hasattr(engine, "hist_group_dispatch") else 0
     group: list = []          # (seq_idx, seq)
     group_pos = 0
+    in_flight: deque = deque()   # (group, handle)
 
-    def flush_group():
-        nonlocal group, group_pos, g_kover, g_undr, g_over
-        if not group:
-            return
-        stats_list, uh, oh, kover_g = engine.hist_group(
-            [s.codes() for _, s in group])
-        g_undr += uh
-        g_over += oh
+    def drain_one():
+        nonlocal g_kover
+        grp, handle = in_flight.popleft()
+        while True:
+            try:
+                stats_list, uh, oh, kover_g = engine.hist_group_finalize(
+                    handle)
+                break
+            except BinOverflow as e:
+                grow(e.max_idx + 1)
+                handle = engine.hist_group_dispatch(
+                    [s.codes() for _, s in grp])
+        g_undr[: uh.size] += uh
+        g_over[: oh.size] += oh
         g_kover += kover_g
-        for (_, s), st in zip(group, stats_list):
+        for (_, s), st in zip(grp, stats_list):
             # per-sequence Processing/Output interleaving, as the
             # reference's worker/writer pair prints (merfin-histogram.C)
             print(f"Processing sequence {s.ident} for histogram", file=log)
             print(f"Output sequence {s.ident}", file=log)
             seq_line(s, st)
-        save_ckpt(group[-1][0])
-        group = []
-        group_pos = 0
+        save_ckpt(grp[-1][0])
+
+    def flush_group(drain: bool = False):
+        nonlocal group, group_pos
+        if group:
+            in_flight.append(
+                (group, engine.hist_group_dispatch(
+                    [s.codes() for _, s in group])))
+            group = []
+            group_pos = 0
+        while len(in_flight) > (0 if drain else 1):
+            drain_one()
 
     seq_idx = 0
     for seq in prefetch_iter(seqs):
@@ -119,32 +156,42 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
             group.append((seq_idx, seq))
             group_pos += need
             continue
-        flush_group()
+        flush_group(drain=True)
         print(f"Processing sequence {seq.ident} for histogram", file=log)
-        stats, undr, over = engine.hist_sequence(seq.codes())
+        while True:
+            try:
+                stats, undr, over = engine.hist_sequence(seq.codes())
+                break
+            except BinOverflow as e:
+                grow(e.max_idx + 1)
         print(f"Output sequence {seq.ident}", file=log)
         g_kover += stats.kover_cpy
-        g_undr += undr
-        g_over += over
+        g_undr[: undr.size] += undr
+        g_over[: over.size] += over
         seq_line(seq, stats)
         save_ckpt(seq_idx)
-    flush_group()
+    flush_group(drain=True)
 
     if multi and not spans:
         g_missing = int(mh.merge_scalar_across_hosts(g_missing))
         g_kasm = int(mh.merge_scalar_across_hosts(g_kasm))
         g_kover = mh.merge_scalar_across_hosts(g_kover)
-        g_undr = mh.merge_array_across_hosts(g_undr)
-        g_over = mh.merge_array_across_hosts(g_over)
+        # ranks may have grown their bins independently: pad to the
+        # global max before the elementwise allgather-sum
+        nb = int(mh.max_scalar_across_hosts(g_undr.size))
+        g_undr = mh.merge_array_across_hosts(
+            np.pad(g_undr, (0, nb - g_undr.size)))
+        g_over = mh.merge_array_across_hosts(
+            np.pad(g_over, (0, nb - g_over.size)))
 
     if pid == 0:
         # histogram file (reportHistogram, merfin-histogram.C:141-163)
         with open_write_text(out_name) as f:
-            for ii in range(NBINS - 1, 0, -1):
+            for ii in range(g_undr.size - 1, 0, -1):
                 if g_undr[ii] > 0:
                     f.write(f"{ii * -0.2:.1f}\t{g_undr[ii]}\n")
             f.write(f"{0.0:.1f}\t{g_undr[0] + g_over[0]}\n")
-            for ii in range(1, NBINS):
+            for ii in range(1, g_over.size):
                 if g_over[ii] > 0:
                     f.write(f"{ii * 0.2:.1f}\t{g_over[ii]}\n")
 

@@ -13,8 +13,8 @@ from __future__ import annotations
 import numpy as np
 
 from merfin_tpu.config import ensure_x64
-from merfin_tpu.modes.engine import (NBINS, PAD_CODE, SEG_MAX, SeqStats,
-                                     pack_group)
+from merfin_tpu.modes.engine import (NBINS, PAD_CODE, SEG_MAX, BinOverflow,
+                                     SeqStats, pack_group)
 from merfin_tpu.parallel.multichip import (make_hist_step, make_dump_step,
                                            make_hist_group_step,
                                            zero_hist_state)
@@ -58,9 +58,11 @@ class ShardedKstarEngine:
         # bit-exact, 2.7x fewer input bytes (10x with group seg planes)
         self.pack_transfer = bool(pack_transfer)
         self._pack_chunk = chunk if self.pack_transfer else None
+        self.nbins = NBINS
         self._step = make_hist_step(mesh, read_lookup, asm_lookup, k,
                                     self.value_map,
-                                    pack_chunk=self._pack_chunk)
+                                    pack_chunk=self._pack_chunk,
+                                    nbins=self.nbins)
         self._dump_step = None   # built on first dump_sequence call
         self._group_step = None  # built on first hist_group call
         # packed-group capacity: one batch = one chunk row per "d" shard
@@ -71,6 +73,17 @@ class ShardedKstarEngine:
         # hosts' HBM and every process drives the same sequences together
         # (run_hist/run_completeness skip striping + allgather merges)
         self.spans_hosts = mesh_spans_hosts(mesh)
+
+    def grow_bins(self, min_bins: int) -> None:
+        """Grow the k* bin count and rebuild the mesh hist programs
+        (same contract as KstarEngine.grow_bins)."""
+        self.nbins = max(self.nbins * 2, 1 << (min_bins - 1).bit_length())
+        self._step = make_hist_step(self.mesh, self._read_lookup,
+                                    self._asm_lookup, self.k,
+                                    self.value_map,
+                                    pack_chunk=self._pack_chunk,
+                                    nbins=self.nbins)
+        self._group_step = None   # rebuilt lazily with the new nbins
 
     def _put(self, batch, _sharding=None):
         return put_global(batch, self.mesh, self._spec)
@@ -102,23 +115,27 @@ class ShardedKstarEngine:
         KstarEngine.hist_sequence): device-state accumulation, one host
         fetch per sequence so sharded steps pipeline."""
         stats = SeqStats()
-        undr = np.zeros(NBINS, dtype=np.int64)
-        over = np.zeros(NBINS, dtype=np.int64)
+        undr = np.zeros(self.nbins, dtype=np.int64)
+        over = np.zeros(self.nbins, dtype=np.int64)
         if codes.shape[0] < self.k:
             return stats, undr, over
 
-        state = zero_hist_state()
-        for batch, _ in self._batches_of(codes):
-            state = self._step(state, *self._put_codes(batch))
+        from merfin_tpu.utils.prefetch import prefetch_iter
+
+        def inputs():
+            for batch, _ in self._batches_of(codes):
+                yield self._put_codes(batch)
+
+        state = zero_hist_state(self.nbins)
+        # placement of batch i+1 overlaps batch i's mesh compute
+        for inp in prefetch_iter(inputs(), depth=2):
+            state = self._step(state, *inp)
         (kasm, kmissing, kover, uh, oh, max_idx,
          overflow, fallbacks) = state
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
-        if int(max_idx) >= NBINS:
-            raise RuntimeError(
-                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
-                "increase merfin_tpu.modes.engine.NBINS"
-            )
+        if int(max_idx) >= self.nbins:
+            raise BinOverflow(int(max_idx), self.nbins)
         stats.kasm = int(kasm)
         stats.kmissing = int(kmissing)
         stats.kover_cpy = float(kover)
@@ -126,14 +143,15 @@ class ShardedKstarEngine:
         over += np.asarray(oh)
         return stats, undr, over
 
-    def hist_group(self, seqs):
-        """-hist for a PACKED group of small sequences over the mesh —
-        same contract as KstarEngine.hist_group (run_hist's fragmented-
-        assembly packing works identically on the sharded engine)."""
+    def hist_group_dispatch(self, seqs):
+        """Dispatch one packed-group -hist step over the mesh (async);
+        modes/hist.py keeps 2 in flight.  Same contract as
+        KstarEngine.hist_group_dispatch."""
         if self._group_step is None:
             self._group_step = make_hist_group_step(
                 self.mesh, self._read_lookup, self._asm_lookup,
-                self.k, self.value_map, pack_chunk=self._pack_chunk)
+                self.k, self.value_map, pack_chunk=self._pack_chunk,
+                nbins=self.nbins)
         if self.pack_transfer:
             from jax.sharding import PartitionSpec as P
             from merfin_tpu.modes.engine import pack_group_transfer
@@ -146,19 +164,27 @@ class ShardedKstarEngine:
             codes_b, seg_b, _ = pack_group(seqs, self.k, self.chunk,
                                            self.data, self.group_capacity)
             inputs = (self._put(codes_b), self._put(seg_b))
-        (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
-         overflow, fallbacks) = self._group_step(*inputs)
+        return len(seqs), self._group_step(*inputs)
+
+    def hist_group_finalize(self, handle):
+        """Fetch one hist_group_dispatch's results."""
+        n_seq, (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
+                overflow, fallbacks) = handle
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
-        if int(max_idx) >= NBINS:
-            raise RuntimeError(
-                f"k* histogram bin {int(max_idx)} exceeds NBINS={NBINS}; "
-                "increase merfin_tpu.modes.engine.NBINS")
+        if int(max_idx) >= self.nbins:
+            raise BinOverflow(int(max_idx), self.nbins)
         kasm_seg = np.asarray(kasm_seg)
         kmis_seg = np.asarray(kmis_seg)
         stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
-                 for i in range(len(seqs))]
+                 for i in range(n_seq)]
         return stats, np.asarray(uh), np.asarray(oh), float(kover)
+
+    def hist_group(self, seqs):
+        """-hist for a PACKED group of small sequences over the mesh —
+        same contract as KstarEngine.hist_group (run_hist's fragmented-
+        assembly packing works identically on the sharded engine)."""
+        return self.hist_group_finalize(self.hist_group_dispatch(seqs))
 
     @staticmethod
     def _local_rows(arr):

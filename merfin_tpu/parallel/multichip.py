@@ -37,6 +37,7 @@ def make_hist_step(
     value_map,
     bin_table=None,
     pack_chunk: int | None = None,
+    nbins: int = NBINS,
 ):
     """Build a jitted step: codes uint8 [B, C + k - 1] (B sharded over
     "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS],
@@ -110,7 +111,7 @@ def make_hist_step(
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
         undr_hist, over_hist = two_hist_by_sort(
-            undr_idx, over_idx, is_undr, is_over)
+            undr_idx, over_idx, is_undr, is_over, nbins)
 
         # Merge the data-parallel partials.  After the value psum over
         # "t", every t-shard of a d-row computed identical partials, so a
@@ -155,6 +156,7 @@ def make_hist_group_step(
     value_map,
     bin_table=None,
     pack_chunk: int | None = None,
+    nbins: int = NBINS,
 ):
     """Packed-group -hist over the mesh: codes [B, C + k - 1] and seg
     [B, C] sharded over "d" -> replicated (kasm_seg[SEG_MAX],
@@ -229,7 +231,7 @@ def make_hist_group_step(
             jnp.max(jnp.where(is_over, over_idx, 0)),
         )
         undr_hist, over_hist = two_hist_by_sort(
-            undr_idx, over_idx, is_undr, is_over)
+            undr_idx, over_idx, is_undr, is_over, nbins)
 
         return (jax.lax.psum(kasm_seg, "d"), jax.lax.psum(kmis_seg, "d"),
                 jax.lax.psum(kover, "d"), jax.lax.psum(undr_hist, "d"),

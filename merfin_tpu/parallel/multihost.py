@@ -134,6 +134,20 @@ def merge_scalar_across_hosts(x: float) -> float:
     return float(np.asarray(out).sum())
 
 
+def max_scalar_across_hosts(x: float) -> float:
+    """Global max of a host-local scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return float(x)
+    from jax.experimental import multihost_utils
+
+    arr = jnp.asarray([x], dtype=jnp.float64)
+    out = multihost_utils.process_allgather(arr)
+    return float(np.asarray(out).max())
+
+
 def merge_array_across_hosts(x: np.ndarray) -> np.ndarray:
     """Elementwise global sum of a host-local accumulator array."""
     import jax

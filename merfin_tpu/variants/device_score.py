@@ -146,7 +146,62 @@ def _num_m_exact(seg_mis: np.ndarray, starts: np.ndarray, nis: np.ndarray,
     return np.where(nis == 0, 0, seg_mis[:P].astype(np.int64) - (spans - nis))
 
 
-class DeviceScorer:
+class _FusedScorer:
+    """Shared span-chunking driver for DeviceScorer/ShardedScorer.
+
+    One dispatch gathers [windows, rows, W] candidate blocks per table
+    (the block lookup strategy, table/lookup.py), so windows per
+    dispatch are capped like the engine's gather path (batch x chunk =
+    2^21; an 8M-window dispatch allocates ~32 GB of takes and OOMs a
+    16 GB HBM).  Streams split at PATH boundaries — paths are
+    independent, so per-span (num_m, totdk) stitch exactly.
+    """
+
+    MAX_WINDOWS = 1 << 21
+
+    def _span_dispatch(self, codes, adjust, starts, nis):
+        """Pack + transfer + ASYNC dispatch of one span (no fetch)."""
+        p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
+            codes, adjust, starts, self.k)
+        p_seg = max(64, 1 << (nis.shape[0] - 1).bit_length())
+        return p, starts, nis, self._dispatch(p, p_seg, planes, vbits,
+                                              adj_bits, mark_bits)
+
+    def _span_fetch(self, handle):
+        p, starts, nis, (seg_mis, totdk, overflow) = handle
+        self.overflow_values += int(overflow)
+        return (_num_m_exact(np.asarray(seg_mis), starts, nis, p),
+                np.asarray(totdk)[: nis.shape[0]])
+
+    def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
+                    starts: np.ndarray, nis: np.ndarray):
+        """Numpy-in/numpy-out: (num_m int64 [P], totdk f64 [P]).
+        All spans dispatch before the first fetch, so span i+1's
+        transfer + compute overlaps span i's result round trip."""
+        P = nis.shape[0]
+        n = max(0, codes.shape[0] - self.k + 1)
+        if n == 0 or P == 0:
+            return np.zeros(P, np.int64), np.zeros(P)
+        handles = []
+        i = 0
+        while i < P:
+            j = i + 1
+            while j < P and starts[j + 1] - starts[i] <= self.MAX_WINDOWS:
+                j += 1
+            a, b = int(starts[i]), int(starts[j])
+            handles.append((i, j, self._span_dispatch(
+                codes[a:b], adjust[a:b], starts[i: j + 1] - a, nis[i:j])))
+            i = j
+        num_m = np.empty(P, np.int64)
+        totdk = np.empty(P)
+        for i, j, h in handles:
+            nm, td = self._span_fetch(h)
+            num_m[i:j] = nm
+            totdk[i:j] = td
+        return num_m, totdk
+
+
+class DeviceScorer(_FusedScorer):
     """Scores packed candidate-path streams in one device dispatch."""
 
     def __init__(self, read_lookup, asm_lookup, k: int, peak: float,
@@ -189,26 +244,14 @@ class DeviceScorer:
         num_m, totdk = _segment_reduce(missing, dkstr, seg, p_seg)
         return num_m, totdk, overflow
 
-    def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
-                    starts: np.ndarray, nis: np.ndarray):
-        """Numpy-in/numpy-out: (num_m int64 [P], totdk f64 [P]).
-        Pads stream and path count to powers of two for shape reuse."""
-        p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
-            codes, adjust, starts, self.k)
-        P = nis.shape[0]
-        if n == 0 or P == 0:
-            return np.zeros(P, np.int64), np.zeros(P)
-        p_seg = max(64, 1 << (P - 1).bit_length())
-        seg_mis, totdk, overflow = self._impl(
+    def _dispatch(self, p, p_seg, planes, vbits, adj_bits, mark_bits):
+        return self._impl(
             p, p_seg, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays(), planes, vbits,
             adj_bits, mark_bits)
-        self.overflow_values += int(overflow)
-        return (_num_m_exact(np.asarray(seg_mis), starts, nis, p),
-                np.asarray(totdk)[:P])
 
 
-class ShardedScorer:
+class ShardedScorer(_FusedScorer):
     """Fused scoring over mesh-sharded lookup tables (-devscore -mesh).
 
     The query stream is replicated across the mesh; every device probes
@@ -280,19 +323,8 @@ class ShardedScorer:
 
         return run
 
-    def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
-                    starts: np.ndarray, nis: np.ndarray):
-        """Numpy-in/numpy-out; same contract as DeviceScorer."""
-        p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
-            codes, adjust, starts, self.k)
-        P = nis.shape[0]
-        if n == 0 or P == 0:
-            return np.zeros(P, np.int64), np.zeros(P)
-        p_seg = max(64, 1 << (P - 1).bit_length())
+    def _dispatch(self, p, p_seg, planes, vbits, adj_bits, mark_bits):
         run = self._runs.get((p, p_seg))
         if run is None:
             run = self._runs[(p, p_seg)] = self._build(p, p_seg)
-        seg_mis, totdk, overflow = run(planes, vbits, adj_bits, mark_bits)
-        self.overflow_values += int(overflow)
-        return (_num_m_exact(np.asarray(seg_mis), starts, nis, p),
-                np.asarray(totdk)[:P])
+        return run(planes, vbits, adj_bits, mark_bits)

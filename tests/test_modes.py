@@ -95,6 +95,52 @@ def test_hist_matches_oracle(setup, tmp_path, use_prob):
         assert f"{ident}\t{pmiss}\t{cum}\t{pkasm}\t{qv:.2f}" in stderr
 
 
+@pytest.mark.parametrize("chunk", [4096, 8192])
+def test_hist_bin_growth_high_copy_repeat(tmp_path, chunk):
+    """A 10^4-copy repeat overflows the default bin count; run_hist
+    grows the engine's bins (increaseArray semantics, merfin-histogram.C:
+    105-124) and produces the reference's histogram instead of dying.
+    chunk=4096 routes through hist_sequence, 8192 through the packed
+    group path (group_capacity = batch * chunk)."""
+    rng = random.Random(7)
+    flank1, flank2 = random_dna(rng, 120), random_dna(rng, 120)
+    asm = flank1 + "A" * (10_000 + K - 1) + flank2
+    collapsed = flank1 + "A" * K + flank2
+    reads = [collapsed] * 4                      # A^K readK = 4/2 = 2
+
+    read_db = db_from_dict(refmodel.count_canonical(reads, K), K,
+                           str(tmp_path / "read"))
+    asm_db = db_from_dict(refmodel.count_canonical([asm], K), K,
+                          str(tmp_path / "asm"))
+    fasta = tmp_path / "asm.fasta"
+    fasta.write_text(">chr\n" + asm + "\n")
+
+    engine = KstarEngine(build_lookup(read_db), build_lookup(asm_db),
+                         K, PEAK, chunk=chunk, batch=2)
+    log = io.StringIO()
+    out = tmp_path / "out.hist"
+    res = run_hist(engine, SeqFile(str(fasta)), str(out), log=log)
+    assert engine.nbins > NBINS
+    assert "Growing k* histogram" in log.getvalue()
+
+    per_seq, undr, over, kasm, kmissing, kover = refmodel.hist_mode(
+        [("chr", asm)], refmodel.count_canonical(reads, K),
+        refmodel.count_canonical([asm], K), K, PEAK)
+    assert max(undr) >= NBINS                    # the overflow is real
+    assert res["kasm"] == kasm and res["missing"] == kmissing
+    assert math.isclose(res["kover_cpy"], kover, rel_tol=1e-12)
+    lines = out.read_text().splitlines()
+    expect = []
+    for ii in sorted(undr, reverse=True):
+        if ii > 0 and undr[ii] > 0:
+            expect.append(f"{ii * -0.2:.1f}\t{undr[ii]}")
+    expect.append(f"{0.0:.1f}\t{undr.get(0, 0) + over.get(0, 0)}")
+    for ii in sorted(over):
+        if ii > 0 and over[ii] > 0:
+            expect.append(f"{ii * 0.2:.1f}\t{over[ii]}")
+    assert lines == expect
+
+
 def test_hist_sortjoin_engine_matches(setup, tmp_path):
     """The gather-free sorted-join hist path gives identical results."""
     base = _engine(setup, prob=setup["prob"], chunk=512)

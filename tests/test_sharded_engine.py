@@ -83,3 +83,35 @@ def test_sharded_hist_grouped_fragments(tmp_path):
     l1 = [l for l in log1.getvalue().splitlines() if l.startswith("f") and "\t" in l]
     l2 = [l for l in log2.getvalue().splitlines() if l.startswith("f") and "\t" in l]
     assert l1 == l2 and len(l1) == 25
+
+
+def test_sharded_hist_bin_growth(tmp_path):
+    """A high-copy repeat grows the SHARDED engine's bins (rebuilds the
+    mesh programs) and matches the single-device growth path."""
+    rng = random.Random(31)
+    flank1, flank2 = random_dna(rng, 100), random_dna(rng, 100)
+    asm = flank1 + "A" * (9_000 + K - 1) + flank2
+    reads = [flank1 + "A" * K + flank2] * 4
+    read_db = db_from_dict(refmodel.count_canonical(reads, K), K,
+                           str(tmp_path / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical([asm], K), K,
+                          str(tmp_path / "a"))
+    fasta = tmp_path / "asm.fasta"
+    fasta.write_text(">chr\n" + asm + "\n")
+
+    single = KstarEngine(build_lookup(read_db), build_lookup(asm_db), K, 3.0,
+                         chunk=4096, batch=2)
+    res1 = run_hist(single, SeqFile(str(fasta)), str(tmp_path / "one.hist"),
+                    log=io.StringIO())
+    assert single.nbins > 1 << 14
+
+    mesh = make_mesh(8, data=2)
+    sharded = ShardedKstarEngine(
+        mesh, ShardedLookup.build(read_db, mesh),
+        ShardedLookup.build(asm_db, mesh), K, 3.0, chunk=4096)
+    res2 = run_hist(sharded, SeqFile(str(fasta)), str(tmp_path / "mesh.hist"),
+                    log=io.StringIO())
+    assert sharded.nbins > 1 << 14
+    assert res1 == res2
+    assert (tmp_path / "one.hist").read_text() == \
+        (tmp_path / "mesh.hist").read_text()

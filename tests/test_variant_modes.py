@@ -192,6 +192,38 @@ def test_device_scorer_matches_host(world, tmp_path):
             assert a == b, (mode, pt is not None)
 
 
+def test_device_scorer_span_chunking(world, monkeypatch):
+    """Streams larger than MAX_WINDOWS split at path boundaries into
+    multiple dispatches; per-path results stitch exactly."""
+    import numpy as np
+
+    from merfin_tpu.variants.device_score import DeviceScorer
+    from merfin_tpu.variants.enumerate import enumerate_paths
+    from merfin_tpu.variants.score import score_path_groups
+
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+    asm = world["asm"]
+    groups = [
+        enumerate_paths(asm[140:170], [10, 15], [1, 1],
+                        [[asm[150], "T", ""], [asm[155], "A", "C"]]),
+        enumerate_paths(asm[390:420], [10, 14], [1, 1],
+                        [[asm[400], "A"], [asm[404], "GG"]]),
+    ]
+    scorer = DeviceScorer(rl, al, K, 30.0, None)
+    one = score_path_groups(groups, K, rl.lookup_np, al.lookup_np,
+                            30.0, None, False, scorer=scorer)
+    monkeypatch.setattr(DeviceScorer, "MAX_WINDOWS", 64)
+    scorer2 = DeviceScorer(rl, al, K, 30.0, None)
+    many = score_path_groups(groups, K, rl.lookup_np, al.lookup_np,
+                             30.0, None, False, scorer=scorer2)
+    for g1, g2 in zip(one, many):
+        for a, b in zip(g1, g2):
+            assert a.num_m == b.num_m
+            assert a.totdk == b.totdk or \
+                np.isclose(a.totdk, b.totdk, rtol=1e-12)
+
+
 def test_sharded_scorer_matches_host(world, tmp_path):
     """Fused scoring over mesh-sharded tables (-devscore -mesh) is
     bit-identical to the host scorer on the virtual CPU mesh."""
