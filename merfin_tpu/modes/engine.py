@@ -46,15 +46,22 @@ class SeqStats:
     kover_cpy: float = 0.0
 
 
-def zero_hist_state(nbins: int = NBINS):
+def zero_hist_state(nbins: int = NBINS, amax: int = 8192,
+                    vmaxp: int = 0):
     """Initial device state for hist accumulation (single-device and
     sharded engines share this layout — keep the fold in sync via
-    fold_hist_state)."""
+    fold_hist_state).  Layout: (kasm, kmissing, kover_fb, undr, over,
+    max_idx, overflow, bin_fallbacks, kover_C, kover_N, kover_R,
+    kover_fbc) — the kover_* integer parts feed the exact host finish
+    (score/kover.py); kover_fb is the counted float fallback only."""
     import jax.numpy as jnp
 
     return (jnp.int64(0), jnp.int64(0), jnp.float64(0.0),
             jnp.zeros(nbins, jnp.int64), jnp.zeros(nbins, jnp.int64),
-            jnp.int64(0), jnp.int64(0), jnp.int64(0))
+            jnp.int64(0), jnp.int64(0), jnp.int64(0),
+            jnp.zeros(vmaxp * (amax + 1), jnp.int64),
+            jnp.zeros(amax + 1, jnp.int64),
+            jnp.zeros(amax + 1, jnp.int64), jnp.int64(0))
 
 
 def pack_group(seqs, k: int, chunk: int, rows: int, capacity: int):
@@ -165,11 +172,12 @@ def fold_hist_state(state, out):
     import jax.numpy as jnp
 
     (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
-     overflow, fallbacks) = out
+     overflow, fallbacks, kc, kn, kr, kfbc) = out
     return (state[0] + kasm, state[1] + kmissing, state[2] + kover,
             state[3] + undr_hist, state[4] + over_hist,
             jnp.maximum(state[5], max_idx), state[6] + overflow,
-            state[7] + fallbacks)
+            state[7] + fallbacks, state[8] + kc, state[9] + kn,
+            state[10] + kr, state[11] + kfbc)
 
 
 class _JnpSortJoin:
@@ -245,8 +253,13 @@ class KstarEngine:
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
                                   exact_max=exact_max)
         self.bin_table = BinTable()
+        self.prob_table = prob_table
+        from merfin_tpu.score.kover import kover_vmaxp
+
+        self.kover_vmaxp = kover_vmaxp(prob_table)
         self.overflow_values = 0
         self.bin_fallbacks = 0
+        self.kover_fallbacks = 0
 
         # The gather-free sorted-join path (Pallas) — odd k only: even-k
         # palindromic mers need the fmer+rmer doubling, which cannot ride
@@ -343,7 +356,17 @@ class KstarEngine:
                                     self.bin_table.device_arrays())
 
     def _zero_hist_state(self):
-        return zero_hist_state(self.nbins)
+        return zero_hist_state(self.nbins, self.bin_table.amax,
+                               self.kover_vmaxp)
+
+    def _finish_kover(self, kover_fb, kc, kn, kr, kfbc) -> float:
+        """Exact host finish of the device integer kover parts."""
+        from merfin_tpu.score.kover import finish_kover
+
+        self.kover_fallbacks += int(kfbc)
+        return finish_kover(np.asarray(kc), np.asarray(kn), np.asarray(kr),
+                            float(kover_fb), self.prob_table,
+                            self.kover_vmaxp, self.bin_table.amax)
 
     def _dump_step(self, codes):
         # dump always uses the gather tables (it needs positional output)
@@ -361,7 +384,8 @@ class KstarEngine:
     # ---- device programs ----
 
     def _lookup_kvals(self, codes, r_tree, a_tree, vm):
-        """codes [..., C + k - 1] -> (readK, asmK, prob, valid, overflow)."""
+        """codes [..., C + k - 1] -> (readK, asmK, prob, valid, overflow,
+        raw read_v) — the raw value feeds the exact kover parts."""
         import jax.numpy as jnp
 
         fmer, rmer, valid = kmer_windows(codes, self.k)
@@ -372,7 +396,7 @@ class KstarEngine:
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid, read_k, 0.0)
         asm_k = jnp.where(valid, asm_k, 0.0)
-        return read_k, asm_k, prob, valid, overflow
+        return read_k, asm_k, prob, valid, overflow, read_v
 
     def _lookup_kvals_sorted(self, codes, r_tree, a_tree, vm):
         """Sorted-join hist path: device-sort the canonical mers (invalid
@@ -392,7 +416,7 @@ class KstarEngine:
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid_s, read_k, 0.0)
         asm_k = jnp.where(valid_s, asm_k, 0.0)
-        return read_k, asm_k, prob, valid_s, overflow
+        return read_k, asm_k, prob, valid_s, overflow, read_v
 
     def _hist_chunk(self, codes, r_tree, a_tree, vm, bins):
         """codes uint8 [B, C + k - 1] -> per-batch reduced hist stats.
@@ -405,12 +429,14 @@ class KstarEngine:
         """
         import jax.numpy as jnp
 
+        from merfin_tpu.score.kover import kover_parts
+
         if self.sortjoin:
-            read_k, asm_k, prob, valid, overflow = self._lookup_kvals_sorted(
-                codes, r_tree, a_tree, vm)
+            (read_k, asm_k, prob, valid, overflow,
+             read_v) = self._lookup_kvals_sorted(codes, r_tree, a_tree, vm)
         else:
-            read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
-                codes, r_tree, a_tree, vm)
+            (read_k, asm_k, prob, valid, overflow,
+             read_v) = self._lookup_kvals(codes, r_tree, a_tree, vm)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
@@ -418,7 +444,9 @@ class KstarEngine:
 
         kasm = jnp.sum(valid)
         kmissing = jnp.sum(missing)
-        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+        kc, kn, kr, kover_fb, kfbc = kover_parts(
+            read_v, read_k, asm_k, prob, is_undr, self.kover_vmaxp,
+            self.bin_table.amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
             read_k, asm_k, bins)
@@ -430,8 +458,8 @@ class KstarEngine:
         )
         undr_hist, over_hist = two_hist_by_sort(
             undr_idx, over_idx, is_undr, is_over, self.nbins)
-        return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
-                overflow, fallbacks)
+        return (kasm, kmissing, kover_fb, undr_hist, over_hist, max_idx,
+                overflow, fallbacks, kc, kn, kr, kfbc)
 
     def _lookup_kvals_sorted_seg(self, codes, seg, r_tree, a_tree, vm):
         """Sorted-join GROUP path: the seg plane rides the device sort as
@@ -454,7 +482,7 @@ class KstarEngine:
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid_s, read_k, 0.0)
         asm_k = jnp.where(valid_s, asm_k, 0.0)
-        return read_k, asm_k, prob, valid_s, overflow, seg_s
+        return read_k, asm_k, prob, valid_s, overflow, read_v, seg_s
 
     def _hist_group_chunk(self, codes, seg, r_tree, a_tree, vm, bins):
         """Packed-group -hist step: codes [B, C + k - 1] with SEG_MAX
@@ -466,13 +494,15 @@ class KstarEngine:
         """
         import jax.numpy as jnp
 
+        from merfin_tpu.score.kover import kover_parts
+
         if self.sortjoin:
-            (read_k, asm_k, prob, valid, overflow,
+            (read_k, asm_k, prob, valid, overflow, read_v,
              seg) = self._lookup_kvals_sorted_seg(codes, seg, r_tree,
                                                   a_tree, vm)
         else:
-            read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
-                codes, r_tree, a_tree, vm)
+            (read_k, asm_k, prob, valid, overflow,
+             read_v) = self._lookup_kvals(codes, r_tree, a_tree, vm)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
@@ -480,7 +510,9 @@ class KstarEngine:
 
         kasm_seg, kmis_seg = seg_counts_by_sort(seg, valid, missing)
 
-        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+        kc, kn, kr, kover_fb, kfbc = kover_parts(
+            read_v, read_k, asm_k, prob, is_undr, self.kover_vmaxp,
+            self.bin_table.amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
             read_k, asm_k, bins)
@@ -491,8 +523,8 @@ class KstarEngine:
         )
         undr_hist, over_hist = two_hist_by_sort(
             undr_idx, over_idx, is_undr, is_over, self.nbins)
-        return (kasm_seg, kmis_seg, kover, undr_hist, over_hist, max_idx,
-                overflow, fallbacks)
+        return (kasm_seg, kmis_seg, kover_fb, undr_hist, over_hist, max_idx,
+                overflow, fallbacks, kc, kn, kr, kfbc)
 
     def _unpack(self, planes, vbits):
         from merfin_tpu.ops.kmer_ops import unpack_transfer
@@ -556,12 +588,13 @@ class KstarEngine:
     def hist_group_finalize(self, handle):
         """Fetch one hist_group_dispatch's results:
         (stats_list, undr, over, kover_total)."""
-        n_seq, (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
-                overflow, fallbacks) = handle
+        n_seq, (kasm_seg, kmis_seg, kover_fb, uh, oh, max_idx,
+                overflow, fallbacks, kc, kn, kr, kfbc) = handle
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= self.nbins:
             raise BinOverflow(int(max_idx), self.nbins)
+        kover = self._finish_kover(kover_fb, kc, kn, kr, kfbc)
         kasm_seg = np.asarray(kasm_seg)
         kmis_seg = np.asarray(kmis_seg)
         stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
@@ -586,7 +619,7 @@ class KstarEngine:
         same segment reduction as _hist_group_chunk."""
         import jax.numpy as jnp
 
-        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
+        read_k, asm_k, prob, valid, overflow, _ = self._lookup_kvals(
             codes, r_tree, a_tree, vm)
         kasm_seg, kmis_seg = seg_counts_by_sort(
             seg, valid, valid & (read_k == 0))
@@ -654,7 +687,7 @@ class KstarEngine:
         """
         import jax.numpy as jnp
 
-        read_k, asm_k, prob, valid, overflow = self._lookup_kvals(
+        read_k, asm_k, prob, valid, overflow, _ = self._lookup_kvals(
             codes, r_tree, a_tree, vm)
         kasm = jnp.sum(valid)
         kmissing = jnp.sum(valid & (read_k == 0))
@@ -722,15 +755,15 @@ class KstarEngine:
         for inputs in prefetch_iter(packed_batches(), depth=2):
             state = self._hist_step_impl(state, *inputs, *step_args, bins)
 
-        (kasm, kmissing, kover, uh, oh, max_idx,
-         overflow, fallbacks) = state
+        (kasm, kmissing, kover_fb, uh, oh, max_idx,
+         overflow, fallbacks, kc, kn, kr, kfbc) = state
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= self.nbins:
             raise BinOverflow(int(max_idx), self.nbins)
         stats.kasm = int(kasm)
         stats.kmissing = int(kmissing)
-        stats.kover_cpy = float(kover)
+        stats.kover_cpy = self._finish_kover(kover_fb, kc, kn, kr, kfbc)
         undr += np.asarray(uh)
         over += np.asarray(oh)
         return stats, undr, over

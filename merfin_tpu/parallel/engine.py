@@ -47,10 +47,17 @@ class ShardedKstarEngine:
         self.peak = float(peak)
         self.chunk = chunk
         self.data = mesh.shape["d"]
+        from merfin_tpu.score.bin_table import BinTable
+        from merfin_tpu.score.kover import kover_vmaxp
+
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
                                   exact_max=exact_max)
+        self.bin_table = BinTable()
+        self.prob_table = prob_table
+        self.kover_vmaxp = kover_vmaxp(prob_table)
         self.overflow_values = 0
         self.bin_fallbacks = 0
+        self.kover_fallbacks = 0
         self._read_lookup = read_lookup
         self._asm_lookup = asm_lookup
         # transfer packing (kcore.pack.pack_transfer_np): 2-bit planes +
@@ -61,8 +68,10 @@ class ShardedKstarEngine:
         self.nbins = NBINS
         self._step = make_hist_step(mesh, read_lookup, asm_lookup, k,
                                     self.value_map,
+                                    bin_table=self.bin_table,
                                     pack_chunk=self._pack_chunk,
-                                    nbins=self.nbins)
+                                    nbins=self.nbins,
+                                    kover_vmaxp=self.kover_vmaxp)
         self._dump_step = None   # built on first dump_sequence call
         self._group_step = None  # built on first hist_group call
         # packed-group capacity: one batch = one chunk row per "d" shard
@@ -81,8 +90,10 @@ class ShardedKstarEngine:
         self._step = make_hist_step(self.mesh, self._read_lookup,
                                     self._asm_lookup, self.k,
                                     self.value_map,
+                                    bin_table=self.bin_table,
                                     pack_chunk=self._pack_chunk,
-                                    nbins=self.nbins)
+                                    nbins=self.nbins,
+                                    kover_vmaxp=self.kover_vmaxp)
         self._group_step = None   # rebuilt lazily with the new nbins
 
     def _put(self, batch, _sharding=None):
@@ -126,19 +137,20 @@ class ShardedKstarEngine:
             for batch, _ in self._batches_of(codes):
                 yield self._put_codes(batch)
 
-        state = zero_hist_state(self.nbins)
+        state = zero_hist_state(self.nbins, self.bin_table.amax,
+                                self.kover_vmaxp)
         # placement of batch i+1 overlaps batch i's mesh compute
         for inp in prefetch_iter(inputs(), depth=2):
             state = self._step(state, *inp)
-        (kasm, kmissing, kover, uh, oh, max_idx,
-         overflow, fallbacks) = state
+        (kasm, kmissing, kover_fb, uh, oh, max_idx,
+         overflow, fallbacks, kc, kn, kr, kfbc) = state
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= self.nbins:
             raise BinOverflow(int(max_idx), self.nbins)
         stats.kasm = int(kasm)
         stats.kmissing = int(kmissing)
-        stats.kover_cpy = float(kover)
+        stats.kover_cpy = self._finish_kover(kover_fb, kc, kn, kr, kfbc)
         undr += np.asarray(uh)
         over += np.asarray(oh)
         return stats, undr, over
@@ -150,8 +162,9 @@ class ShardedKstarEngine:
         if self._group_step is None:
             self._group_step = make_hist_group_step(
                 self.mesh, self._read_lookup, self._asm_lookup,
-                self.k, self.value_map, pack_chunk=self._pack_chunk,
-                nbins=self.nbins)
+                self.k, self.value_map, bin_table=self.bin_table,
+                pack_chunk=self._pack_chunk, nbins=self.nbins,
+                kover_vmaxp=self.kover_vmaxp)
         if self.pack_transfer:
             from jax.sharding import PartitionSpec as P
             from merfin_tpu.modes.engine import pack_group_transfer
@@ -166,19 +179,28 @@ class ShardedKstarEngine:
             inputs = (self._put(codes_b), self._put(seg_b))
         return len(seqs), self._group_step(*inputs)
 
+    def _finish_kover(self, kover_fb, kc, kn, kr, kfbc) -> float:
+        from merfin_tpu.score.kover import finish_kover
+
+        self.kover_fallbacks += int(kfbc)
+        return finish_kover(np.asarray(kc), np.asarray(kn), np.asarray(kr),
+                            float(kover_fb), self.prob_table,
+                            self.kover_vmaxp, self.bin_table.amax)
+
     def hist_group_finalize(self, handle):
         """Fetch one hist_group_dispatch's results."""
-        n_seq, (kasm_seg, kmis_seg, kover, uh, oh, max_idx,
-                overflow, fallbacks) = handle
+        n_seq, (kasm_seg, kmis_seg, kover_fb, uh, oh, max_idx,
+                overflow, fallbacks, kc, kn, kr, kfbc) = handle
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= self.nbins:
             raise BinOverflow(int(max_idx), self.nbins)
+        kover = self._finish_kover(kover_fb, kc, kn, kr, kfbc)
         kasm_seg = np.asarray(kasm_seg)
         kmis_seg = np.asarray(kmis_seg)
         stats = [SeqStats(kasm=int(kasm_seg[i]), kmissing=int(kmis_seg[i]))
                  for i in range(n_seq)]
-        return stats, np.asarray(uh), np.asarray(oh), float(kover)
+        return stats, np.asarray(uh), np.asarray(oh), kover
 
     def hist_group(self, seqs):
         """-hist for a PACKED group of small sequences over the mesh —

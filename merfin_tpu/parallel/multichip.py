@@ -27,6 +27,7 @@ from merfin_tpu.modes.engine import (NBINS, fold_hist_state,  # noqa: F401  (zer
 from merfin_tpu.ops.kmer_ops import (kmer_windows, canonical_and_mult,
                                      unpack_transfer, seg_from_marks)
 from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
+from merfin_tpu.score.kover import kover_parts
 
 
 def make_hist_step(
@@ -38,10 +39,11 @@ def make_hist_step(
     bin_table=None,
     pack_chunk: int | None = None,
     nbins: int = NBINS,
+    kover_vmaxp: int = 0,
 ):
     """Build a jitted step: codes uint8 [B, C + k - 1] (B sharded over
-    "d") -> replicated (kasm, kmissing, koverCpy, undr[NBINS], over[NBINS],
-    max_idx, overflow, fallbacks).
+    "d") -> replicated hist-state increments (zero_hist_state layout:
+    counts, histograms, exact-kover integer parts + counted fallbacks).
 
     value_map: merfin_tpu.score.value_map.ValueMap — getK precomputed on
     the host (exact) and gathered on device; raw values above the cap use
@@ -74,7 +76,7 @@ def make_hist_step(
             P(), P(),                     # bin tables (replicated)
             *data_specs,                  # chunk batch sharded on d
         ),
-        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(),) * 12,
     )
     def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
              undr_t, over_t, *data):
@@ -101,7 +103,9 @@ def make_hist_step(
 
         kasm = jnp.sum(valid)
         kmissing = jnp.sum(missing)
-        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+        kc, kn, kr, kover_fb, kfbc = kover_parts(
+            read_v, read_k, asm_k, prob, is_undr, kover_vmaxp,
+            bin_table.amax)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
             read_k, asm_k, (undr_t, over_t))
@@ -117,16 +121,13 @@ def make_hist_step(
         # "t", every t-shard of a d-row computed identical partials, so a
         # psum over "d" alone yields the global value, already replicated
         # across "t" (satisfying the replicated out_specs).
-        kasm = jax.lax.psum(kasm, "d")
-        kmissing = jax.lax.psum(kmissing, "d")
-        kover = jax.lax.psum(kover, "d")
-        undr_hist = jax.lax.psum(undr_hist, "d")
-        over_hist = jax.lax.psum(over_hist, "d")
-        max_idx = jax.lax.pmax(max_idx, "d")
-        overflow = jax.lax.psum(overflow, "d")
-        fallbacks = jax.lax.psum(fallbacks, "d")
-        return (kasm, kmissing, kover, undr_hist, over_hist, max_idx,
-                overflow, fallbacks)
+        return (jax.lax.psum(kasm, "d"), jax.lax.psum(kmissing, "d"),
+                jax.lax.psum(kover_fb, "d"),
+                jax.lax.psum(undr_hist, "d"), jax.lax.psum(over_hist, "d"),
+                jax.lax.pmax(max_idx, "d"), jax.lax.psum(overflow, "d"),
+                jax.lax.psum(fallbacks, "d"), jax.lax.psum(kc, "d"),
+                jax.lax.psum(kn, "d"), jax.lax.psum(kr, "d"),
+                jax.lax.psum(kfbc, "d"))
 
     rk_dev = jnp.asarray(value_map.read_k_host)
     pr_dev = jnp.asarray(value_map.prob_host)
@@ -157,6 +158,7 @@ def make_hist_group_step(
     bin_table=None,
     pack_chunk: int | None = None,
     nbins: int = NBINS,
+    kover_vmaxp: int = 0,
 ):
     """Packed-group -hist over the mesh: codes [B, C + k - 1] and seg
     [B, C] sharded over "d" -> replicated (kasm_seg[SEG_MAX],
@@ -188,7 +190,7 @@ def make_hist_group_step(
             P(), P(), P(), P(),
             *data_specs,
         ),
-        out_specs=(P(),) * 8,
+        out_specs=(P(),) * 12,
     )
     def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
              undr_t, over_t, *data):
@@ -221,7 +223,9 @@ def make_hist_group_step(
         kmis_seg = jnp.bincount(seg_mis.reshape(-1),
                                 length=SEG_MAX + 1)[:SEG_MAX]
 
-        kover = jnp.sum(jnp.where(is_undr, (1.0 - read_k / asm_k) * prob, 0.0))
+        kc, kn, kr, kover_fb, kfbc = kover_parts(
+            read_v, read_k, asm_k, prob, is_undr, kover_vmaxp,
+            bin_table.amax)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
             read_k, asm_k, (undr_t, over_t))
@@ -234,9 +238,11 @@ def make_hist_group_step(
             undr_idx, over_idx, is_undr, is_over, nbins)
 
         return (jax.lax.psum(kasm_seg, "d"), jax.lax.psum(kmis_seg, "d"),
-                jax.lax.psum(kover, "d"), jax.lax.psum(undr_hist, "d"),
+                jax.lax.psum(kover_fb, "d"), jax.lax.psum(undr_hist, "d"),
                 jax.lax.psum(over_hist, "d"), jax.lax.pmax(max_idx, "d"),
-                jax.lax.psum(overflow, "d"), jax.lax.psum(fallbacks, "d"))
+                jax.lax.psum(overflow, "d"), jax.lax.psum(fallbacks, "d"),
+                jax.lax.psum(kc, "d"), jax.lax.psum(kn, "d"),
+                jax.lax.psum(kr, "d"), jax.lax.psum(kfbc, "d"))
 
     rk_dev = jnp.asarray(value_map.read_k_host)
     pr_dev = jnp.asarray(value_map.prob_host)

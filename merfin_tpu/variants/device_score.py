@@ -44,25 +44,26 @@ from merfin_tpu.score.kstar import ProbTable
 from merfin_tpu.score.value_map import ValueMap
 
 
-def _planes_from_bits(adj_bits, mark_bits, n):
+def _planes_from_bits(adj_bits, mark_bits, n, need_start: bool):
     """Unpack the adjust bitmask and path-start marks shipped across the
     link (1 bit/window each instead of 1+8 bytes).  Returns (adjust
-    bool [n], path_start int64 [n], seg int32 [n]): path_start[i] is the
-    window index of i's path start (forward-fill reset boundary) and
-    seg[i] its 0-based path id; windows in the tail padding (no further
-    marks) join the last path's segment, but they are always-missing and
-    the caller subtracts them from known span arithmetic."""
+    bool [n], path_start int64 [n] | None): path_start[i] is the window
+    index of i's path start (the stale-prob forward-fill reset
+    boundary) — only materialized when a -prob table makes the fill
+    necessary (need_start), its cummax scan is the single most
+    expensive op of the no-prob program otherwise."""
     import jax
     import jax.numpy as jnp
 
     bsh = jnp.arange(8, dtype=jnp.uint8)
     adjust = ((adj_bits[:, None] >> bsh) & jnp.uint8(1)
               ).reshape(-1)[:n].astype(bool)
+    if not need_start:
+        return adjust, None
     mk = ((mark_bits[:, None] >> bsh) & jnp.uint8(1)).reshape(-1)[:n]
     midx = jnp.arange(n, dtype=jnp.int64)
     path_start = jax.lax.cummax(jnp.where(mk == 1, midx, jnp.int64(-1)))
-    seg = jnp.cumsum(mk.astype(jnp.int32)) - 1
-    return adjust, path_start, seg
+    return adjust, path_start
 
 
 def _stream_math(value_map, vm, read_v, asm_v, valid, adjust, path_start):
@@ -97,24 +98,27 @@ def _stream_math(value_map, vm, read_v, asm_v, valid, adjust, path_start):
     return missing, o_delta - n_delta, overflow
 
 
-def _segment_reduce(missing, dkstr, seg, p_seg):
-    """Per-path (missing count, dkstr sum) via sorted segment sums."""
-    import jax
+def _boundary_reduce(missing, dkstr, b_start, b_end):
+    """Per-path (missing count, dkstr sum) as cumsum differences at the
+    path boundaries — scatter-free (TPU scatter costs ~10x a scan) and
+    EXACTLY the host scorer's slice sums: num_m is an integer prefix
+    difference, and without a -prob table every dkstr value is integer-
+    valued f64 (|readK-asmK| differences), so the prefix difference is
+    exact there too.  With a prob table totdk may differ from a direct
+    slice sum in final ulps (it is a device sum either way)."""
     import jax.numpy as jnp
 
-    num_m = jax.ops.segment_sum(missing.astype(jnp.int32), seg,
-                                num_segments=p_seg,
-                                indices_are_sorted=True)
-    totdk = jax.ops.segment_sum(dkstr, seg, num_segments=p_seg,
-                                indices_are_sorted=True)
-    return num_m, totdk
+    cs_m = jnp.pad(jnp.cumsum(missing.astype(jnp.int32)), (1, 0))
+    cs_d = jnp.pad(jnp.cumsum(dkstr), (1, 0))
+    return cs_m[b_end] - cs_m[b_start], cs_d[b_end] - cs_d[b_start]
 
 
 def _pack_inputs(codes: np.ndarray, adjust: np.ndarray,
-                 starts: np.ndarray, k: int):
+                 starts: np.ndarray, nis: np.ndarray, k: int):
     """Host-side transfer packing shared by both scorers: pad the stream
     to a power of two (compiled-shape reuse), 2-bit code planes +
-    validity bits, and 1-bit adjust/path-start-mark planes."""
+    validity bits, 1-bit adjust/path-start-mark planes, and the padded
+    [p_seg] path-boundary index arrays for the device reduction."""
     from merfin_tpu.kcore.pack import pack_transfer_np
 
     n = max(0, codes.shape[0] - k + 1)
@@ -127,23 +131,16 @@ def _pack_inputs(codes: np.ndarray, adjust: np.ndarray,
     marks = np.zeros(p, dtype=bool)
     s = starts[:-1]
     marks[s[s < n]] = True
+    P = nis.shape[0]
+    p_seg = max(64, 1 << (P - 1).bit_length()) if P else 64
+    b_start = np.zeros(p_seg, dtype=np.int32)
+    b_end = np.zeros(p_seg, dtype=np.int32)
+    b_start[:P] = starts[:-1]
+    b_end[:P] = starts[:-1] + nis
     return (p, n, planes, vbits,
             np.packbits(adj_p, bitorder="little"),
-            np.packbits(marks, bitorder="little"))
-
-
-def _num_m_exact(seg_mis: np.ndarray, starts: np.ndarray, nis: np.ndarray,
-                 p: int) -> np.ndarray:
-    """Subtract the always-missing separator/tail windows of each path's
-    segment: segment i spans [starts[i], starts[i+1]) (the last one to
-    the padded end p); its windows beyond the path's ni are separator-
-    or padding-spanning, hence invalid, hence counted missing by the
-    device.  Integer arithmetic — exact on every backend."""
-    P = nis.shape[0]
-    spans = np.empty(P, dtype=np.int64)
-    spans[:-1] = np.diff(starts[:-1])
-    spans[-1] = p - starts[P - 1]
-    return np.where(nis == 0, 0, seg_mis[:P].astype(np.int64) - (spans - nis))
+            np.packbits(marks, bitorder="little"),
+            b_start, b_end)
 
 
 class _FusedScorer:
@@ -161,17 +158,16 @@ class _FusedScorer:
 
     def _span_dispatch(self, codes, adjust, starts, nis):
         """Pack + transfer + ASYNC dispatch of one span (no fetch)."""
-        p, n, planes, vbits, adj_bits, mark_bits = _pack_inputs(
-            codes, adjust, starts, self.k)
-        p_seg = max(64, 1 << (nis.shape[0] - 1).bit_length())
-        return p, starts, nis, self._dispatch(p, p_seg, planes, vbits,
-                                              adj_bits, mark_bits)
+        p, n, planes, vbits, adj_bits, mark_bits, b_start, b_end = \
+            _pack_inputs(codes, adjust, starts, nis, self.k)
+        return nis.shape[0], self._dispatch(p, planes, vbits, adj_bits,
+                                            mark_bits, b_start, b_end)
 
     def _span_fetch(self, handle):
-        p, starts, nis, (seg_mis, totdk, overflow) = handle
+        P, (num_m, totdk, overflow) = handle
         self.overflow_values += int(overflow)
-        return (_num_m_exact(np.asarray(seg_mis), starts, nis, p),
-                np.asarray(totdk)[: nis.shape[0]])
+        return (np.asarray(num_m)[:P].astype(np.int64),
+                np.asarray(totdk)[:P])
 
     def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
                     starts: np.ndarray, nis: np.ndarray):
@@ -216,23 +212,25 @@ class DeviceScorer(_FusedScorer):
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
                                   exact_max=exact_max)
         self.overflow_values = 0
-        self._impl = jax.jit(self._score_stream, static_argnums=(0, 1))
+        self._impl = jax.jit(self._score_stream, static_argnums=0)
 
-    def _score_stream(self, n, p_seg, r_tree, a_tree, vm, planes, vbits,
-                      adj_bits, mark_bits):
+    def _score_stream(self, n, r_tree, a_tree, vm, planes, vbits,
+                      adj_bits, mark_bits, b_start, b_end):
         """Packed path stream -> (num_m [p_seg], totdk [p_seg], overflow).
 
         planes/vbits: 2-bit codes + validity of the packed path stream
         (kcore.pack.pack_transfer_np of codes u8 [n + k - 1], paths
         separated by k-1 invalid bases); adj_bits/mark_bits: 1-bit
-        planes (see _planes_from_bits).  With the 2-bit codes this is
-        ~16x fewer input bytes than u8 codes + i64 path_start, and the
-        per-path reduction ships ~windows/paths x fewer bytes back.
+        planes (see _planes_from_bits); b_start/b_end: padded [p_seg]
+        window-index boundaries of each path.  With the 2-bit codes this
+        is ~16x fewer input bytes than u8 codes + i64 path_start, and
+        the per-path reduction ships ~windows/paths x fewer bytes back.
         """
         from merfin_tpu.ops.kmer_ops import unpack_transfer
 
         codes = unpack_transfer(planes, vbits, n + self.k - 1)
-        adjust, path_start, seg = _planes_from_bits(adj_bits, mark_bits, n)
+        adjust, path_start = _planes_from_bits(adj_bits, mark_bits, n,
+                                               self.value_map.has_prob)
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
         read_v = self.read_lookup.lookup_with(
@@ -241,14 +239,15 @@ class DeviceScorer(_FusedScorer):
             a_tree, canon).astype(np.uint64) * mult
         missing, dkstr, overflow = _stream_math(
             self.value_map, vm, read_v, asm_v, valid, adjust, path_start)
-        num_m, totdk = _segment_reduce(missing, dkstr, seg, p_seg)
+        num_m, totdk = _boundary_reduce(missing, dkstr, b_start, b_end)
         return num_m, totdk, overflow
 
-    def _dispatch(self, p, p_seg, planes, vbits, adj_bits, mark_bits):
+    def _dispatch(self, p, planes, vbits, adj_bits, mark_bits,
+                  b_start, b_end):
         return self._impl(
-            p, p_seg, self.read_lookup.tree(), self.asm_lookup.tree(),
+            p, self.read_lookup.tree(), self.asm_lookup.tree(),
             self.value_map.device_arrays(), planes, vbits,
-            adj_bits, mark_bits)
+            adj_bits, mark_bits, b_start, b_end)
 
 
 class ShardedScorer(_FusedScorer):
@@ -273,12 +272,12 @@ class ShardedScorer(_FusedScorer):
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
                                   exact_max=exact_max)
         self.overflow_values = 0
-        self._runs: dict[tuple[int, int], object] = {}  # (p, p_seg) -> step
+        self._runs: dict[int, object] = {}  # padded window count -> step
 
-    def _build(self, p: int, p_seg: int):
-        """Jitted shard_map step for padded window count ``p`` and path
-        count ``p_seg`` (cached: _pack_inputs quantizes to powers of
-        two, so a run compiles a handful of shapes)."""
+    def _build(self, p: int):
+        """Jitted shard_map step for padded window count ``p`` (cached:
+        _pack_inputs quantizes to powers of two, so a run compiles a
+        handful of shapes)."""
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -293,13 +292,14 @@ class ShardedScorer(_FusedScorer):
         @partial(
             shard_map, mesh=self.mesh,
             in_specs=(P("t", None), P("t", None), P("t", None), P("t", None),
-                      P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P(), P()),
         )
         def step(rk, rv, ak, av, vm_rk, vm_pr, planes, vbits,
-                 adj_bits, mark_bits):
+                 adj_bits, mark_bits, b_start, b_end):
             codes = unpack_transfer(planes, vbits, p + k - 1)
-            adjust, path_start, seg = _planes_from_bits(adj_bits, mark_bits, p)
+            adjust, path_start = _planes_from_bits(adj_bits, mark_bits, p,
+                                                   value_map.has_prob)
             fmer, rmer, valid = kmer_windows(codes, k)
             canon, mult = canonical_and_mult(fmer, rmer)
             read_v = jax.lax.psum(_local_probe(rk[0], rv[0], canon), "t")
@@ -309,7 +309,7 @@ class ShardedScorer(_FusedScorer):
             missing, dkstr, overflow = _stream_math(
                 value_map, (vm_rk, vm_pr), read_v, asm_v, valid, adjust,
                 path_start)
-            num_m, totdk = _segment_reduce(missing, dkstr, seg, p_seg)
+            num_m, totdk = _boundary_reduce(missing, dkstr, b_start, b_end)
             return num_m, totdk, overflow
 
         rk_dev = jnp.asarray(value_map.read_k_host)
@@ -317,14 +317,16 @@ class ShardedScorer(_FusedScorer):
         jstep = jax.jit(step)
         rs, As = self.read_sharded, self.asm_sharded
 
-        def run(planes, vbits, adj_bits, mark_bits):
+        def run(planes, vbits, adj_bits, mark_bits, b_start, b_end):
             return jstep(rs.keys, rs.vals, As.keys, As.vals,
-                         rk_dev, pr_dev, planes, vbits, adj_bits, mark_bits)
+                         rk_dev, pr_dev, planes, vbits, adj_bits, mark_bits,
+                         b_start, b_end)
 
         return run
 
-    def _dispatch(self, p, p_seg, planes, vbits, adj_bits, mark_bits):
-        run = self._runs.get((p, p_seg))
+    def _dispatch(self, p, planes, vbits, adj_bits, mark_bits,
+                  b_start, b_end):
+        run = self._runs.get(p)
         if run is None:
-            run = self._runs[(p, p_seg)] = self._build(p, p_seg)
-        return run(planes, vbits, adj_bits, mark_bits)
+            run = self._runs[p] = self._build(p)
+        return run(planes, vbits, adj_bits, mark_bits, b_start, b_end)

@@ -80,15 +80,15 @@ def test_multichip_hist_matches_single_device(dbs):
 
     from merfin_tpu.parallel.multichip import zero_hist_state
 
-    kasm, kmissing, kover, undr, over, max_idx, overflow, fallbacks = step(
-        zero_hist_state(), b_sharded)
+    (kasm, kmissing, kover, undr, over, max_idx, overflow, fallbacks,
+     *kov_parts) = step(zero_hist_state(), b_sharded)
     assert int(overflow) == 0 and int(fallbacks) == 0
 
     # single-device reference
     engine = KstarEngine(build_lookup(read_db), build_lookup(asm_db), K, peak,
                          chunk=chunk, batch=2)
-    kasm1, kmis1, kover1, undr1, over1, _, _, _ = engine._hist_step(
-        engine._zero_hist_state(), b)
+    (kasm1, kmis1, kover1, undr1, over1,
+     *_rest) = engine._hist_step(engine._zero_hist_state(), b)
 
     assert int(kasm) == int(kasm1)
     assert int(kmissing) == int(kmis1)
