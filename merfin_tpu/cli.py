@@ -348,7 +348,7 @@ def run(cfg: MerfinConfig) -> int:
         if cfg.report_type != "hist":
             sortjoin = False   # dump needs positional output
         elif sortjoin is None:  # auto: the Pallas join path on accelerators
-            sortjoin = jax.default_backend() != "cpu" and k % 2 == 1
+            sortjoin = jax.default_backend() != "cpu"
         engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
                              max_value=_db_max(read_db), sortjoin=sortjoin,
                              exact_max=True)
@@ -422,7 +422,7 @@ def run(cfg: MerfinConfig) -> int:
 # ---------------- database tools (meryl analog) ----------------
 
 def db_tool_main(argv: list[str]) -> int:
-    ensure_x64()
+    setup_runtime()   # honors MERFIN_PLATFORM + persistent compile cache
     from merfin_tpu.io.mkdb import KmerDB
     from merfin_tpu.io import meryl_text
     from merfin_tpu.count import algebra

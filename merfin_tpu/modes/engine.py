@@ -242,7 +242,7 @@ class KstarEngine:
         # gather path materializes [windows, R] take temporaries, so its
         # batch stays small (16 OOMs a 16 GB HBM).
         if batch is None:
-            batch = 16 if (sortjoin and k % 2 == 1) else 4
+            batch = 16 if sortjoin else 4
         self.batch = batch
         from merfin_tpu.score.bin_table import BinTable
 
@@ -261,10 +261,9 @@ class KstarEngine:
         self.bin_fallbacks = 0
         self.kover_fallbacks = 0
 
-        # The gather-free sorted-join path (Pallas) — odd k only: even-k
-        # palindromic mers need the fmer+rmer doubling, which cannot ride
-        # a key-only device sort.
-        self.sortjoin = bool(sortjoin) and (k % 2 == 1)
+        # The gather-free sorted-join path (Pallas); even-k palindromic
+        # doubling rides the device sort as a secondary operand.
+        self.sortjoin = bool(sortjoin)
         if self.sortjoin:
             from merfin_tpu.ops.join_kernel import SortJoinTable, QB
             from merfin_tpu.ops.join_kernel4 import SortJoinTableV4
@@ -402,16 +401,31 @@ class KstarEngine:
         """Sorted-join hist path: device-sort the canonical mers (invalid
         windows become u64::MAX sentinels), run the gather-free Pallas
         join against both tables, and classify positionally — every hist
-        consumer is a reduction, so the permutation is irrelevant."""
+        consumer is a reduction, so the permutation is irrelevant.
+
+        Even k: palindromic windows (fmer == rmer) double their value
+        (merfin-globals.C:101-110 sums fmer+rmer lookups); the x2
+        multiplier rides the sort as a secondary lax.sort operand, the
+        same trick the group path uses for seg."""
+        import jax
         import jax.numpy as jnp
 
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon = jnp.minimum(fmer, rmer)
         canon = jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        qs = jnp.sort(canon.reshape(-1))
+        if self.k % 2 == 0:
+            mult = jnp.where(fmer == rmer, jnp.uint32(2), jnp.uint32(1))
+            qs, mult_s = jax.lax.sort(
+                (canon.reshape(-1), mult.reshape(-1)), num_keys=1)
+        else:
+            qs = jnp.sort(canon.reshape(-1))   # odd k: no palindromes
+            mult_s = None
         valid_s = qs != jnp.uint64(0xFFFFFFFFFFFFFFFF)
         read_v = self._sj_read.lookup_sorted_with(r_tree, qs).astype(np.uint64)
         asm_v = self._sj_asm.lookup_sorted_with(a_tree, qs).astype(np.uint64)
+        if mult_s is not None:
+            read_v = read_v * mult_s
+            asm_v = asm_v * mult_s
         read_k, prob, overflow = self.value_map.lookup_jnp(read_v, vm)
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid_s, read_k, 0.0)
@@ -472,12 +486,22 @@ class KstarEngine:
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon = jnp.minimum(fmer, rmer)
         canon = jnp.where(valid, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        qs, seg_s = jax.lax.sort(
-            (canon.reshape(-1), seg.reshape(-1).astype(jnp.int32)),
-            num_keys=1)
+        if self.k % 2 == 0:
+            mult = jnp.where(fmer == rmer, jnp.uint32(2), jnp.uint32(1))
+            qs, seg_s, mult_s = jax.lax.sort(
+                (canon.reshape(-1), seg.reshape(-1).astype(jnp.int32),
+                 mult.reshape(-1)), num_keys=1)
+        else:
+            qs, seg_s = jax.lax.sort(
+                (canon.reshape(-1), seg.reshape(-1).astype(jnp.int32)),
+                num_keys=1)
+            mult_s = None
         valid_s = qs != jnp.uint64(0xFFFFFFFFFFFFFFFF)
         read_v = self._sj_read.lookup_sorted_with(r_tree, qs).astype(np.uint64)
         asm_v = self._sj_asm.lookup_sorted_with(a_tree, qs).astype(np.uint64)
+        if mult_s is not None:
+            read_v = read_v * mult_s
+            asm_v = asm_v * mult_s
         read_k, prob, overflow = self.value_map.lookup_jnp(read_v, vm)
         asm_k = asm_v.astype(jnp.float64)
         read_k = jnp.where(valid_s, read_k, 0.0)

@@ -95,6 +95,43 @@ def test_hist_matches_oracle(setup, tmp_path, use_prob):
         assert f"{ident}\t{pmiss}\t{cum}\t{pkasm}\t{qv:.2f}" in stderr
 
 
+def test_hist_sortjoin_even_k(tmp_path):
+    """Even k: palindromic fmer==rmer windows double their value; the
+    multiplier rides the device sort as a payload so the sorted-join
+    path now serves even k too (value(fmer)+value(rmer) summing,
+    merfin-globals.C:101-110)."""
+    k = 10
+    rng = random.Random(11)
+    # guarantee palindromic k-mers: embed reverse-complement stems
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    stem = random_dna(rng, k // 2)
+    pal = stem + "".join(comp[c] for c in reversed(stem))
+    scaf = [random_dna(rng, 300) + pal + random_dna(rng, 300),
+            random_dna(rng, 250)]
+    reads = scaf * 3 + [random_dna(rng, 200)]
+    read_db = db_from_dict(refmodel.count_canonical(reads, k), k,
+                           str(tmp_path / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical(scaf, k), k,
+                          str(tmp_path / "a"))
+    fasta = tmp_path / "asm.fasta"
+    fasta.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(scaf)))
+
+    rl, al = build_lookup(read_db), build_lookup(asm_db)
+    base = KstarEngine(rl, al, k, PEAK, chunk=512, batch=2, sortjoin=False)
+    sj = KstarEngine(rl, al, k, PEAK, chunk=512, batch=2, sortjoin=True)
+    assert sj.sortjoin
+    log1, log2 = io.StringIO(), io.StringIO()
+    r1 = run_hist(base, SeqFile(str(fasta)), str(tmp_path / "h1"), log=log1)
+    r2 = run_hist(sj, SeqFile(str(fasta)), str(tmp_path / "h2"), log=log2)
+    assert r1 == r2
+    assert (tmp_path / "h1").read_text() == (tmp_path / "h2").read_text()
+    assert log1.getvalue() == log2.getvalue()
+    # the palindrome really fired (lookup doubles fmer==rmer)
+    assert refmodel.revcomp(pal) == pal
+    assert min(pal, refmodel.revcomp(pal)) in refmodel.count_canonical(
+        scaf, k)
+
+
 @pytest.mark.parametrize("chunk", [4096, 8192])
 def test_hist_bin_growth_high_copy_repeat(tmp_path, chunk):
     """A 10^4-copy repeat overflows the default bin count; run_hist
