@@ -9,12 +9,12 @@ Parity targets (merfin-dump.C:72-104):
   * sequences emit in input order (the reference forces in-order output
     for dump, merfin.C:384).
 
-Row formatting uses the native C++ formatter when available.  The output
-stream is written one sequence at a time in append mode — for .gz
-outputs each sequence is its own gzip member (readers see one stream),
-which makes per-sequence checkpoint/resume byte-exact.  Exception: on a
-host-spanning mesh each CHUNK is its own gzip member (chunks of one
-sequence live on different hosts); the decompressed bytes are identical.
+Row formatting uses the native C++ formatter when available, fanned
+over a thread pool per CHUNK (ctypes + gzip release the GIL) — the
+formatter of chunk i runs while chunk i+1 computes on the device, and
+the single writer restores order.  For .gz outputs each chunk is its
+own gzip member (readers see one stream; resume offsets stay
+per-sequence).
 """
 
 from __future__ import annotations
@@ -35,12 +35,16 @@ def run_dump(
     log=sys.stderr,
     resume: bool = False,
 ):
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
     from merfin_tpu import native
     from merfin_tpu.parallel import multihost as mh
 
     g_missing = 0
     g_kasm = 0
     out = None
+    fmt_pool = ThreadPoolExecutor(max(2, min(8, _os.cpu_count() or 2)))
 
     # Multi-host, two shapes (cf. run_hist):
     #  * striped — each process takes its sequence stripe;
@@ -86,14 +90,19 @@ def run_dump(
             block = "".join(parts).encode("ascii")
         return block
 
+    def format_and_zip(ident, start, rk, ak, km) -> bytes:
+        """Worker task: native row formatting (+ per-chunk gzip member).
+        Runs on fmt_pool — both the ctypes formatter and gzip release
+        the GIL, so chunks format while the next one computes."""
+        data = format_block(ident, start, rk, ak, km)
+        return gzip.compress(data, compresslevel=1) if is_gz else data
+
     def write_seq(idx, blocks: list[bytes]) -> int:
-        """Emit one sequence's rows; returns the output offset."""
+        """Emit one sequence's (pre-compressed) rows; returns offset."""
         nonlocal out
         if skip_missing:
             return 0
         data = b"".join(blocks)
-        if is_gz:
-            data = gzip.compress(data, compresslevel=1)
         if part is not None:
             part.write_seq(idx, data)
             return 0
@@ -118,12 +127,15 @@ def run_dump(
         if not group:
             return
         results = engine.dump_group([s.codes() for _, s in group])
+        futs = [fmt_pool.submit(format_and_zip, s.ident, 0, rk, ak, km)
+                for (_, s), (rk, ak, km, _, _) in zip(group, results)]
         offset = 0
-        for (idx, s), (rk, ak, km, kasm, kmis) in zip(group, results):
+        for (idx, s), (rk, ak, km, kasm, kmis), fut in zip(group, results,
+                                                           futs):
             # per-sequence Processing/Output interleaving (merfin-dump.C)
             print(f"Processing sequence {s.ident} for dumping", file=log)
             print(f"Output sequence {s.ident}", file=log)
-            offset = write_seq(idx, [format_block(s.ident, 0, rk, ak, km)])
+            offset = write_seq(idx, [fut.result()])
             g_kasm += kasm
             g_missing += kmis
             print(f"{s.ident}\t{kmis}\t{g_missing}\t{g_kasm}", file=log)
@@ -150,10 +162,9 @@ def run_dump(
                     kasm_l += kasm
                     mis_l += kmis
                     if not skip_missing:
-                        data = format_block(seq.ident, start, rk, ak, km)
-                        if is_gz:
-                            data = gzip.compress(data, compresslevel=1)
-                        part.write_seq(chunk_base + ordinal, data)
+                        part.write_seq(chunk_base + ordinal,
+                                       format_and_zip(seq.ident, start,
+                                                      rk, ak, km))
                 n_pos = max(0, seq.length - engine.k + 1)
                 chunk_base += -(-n_pos // engine.chunk)
                 print(f"Output sequence {seq.ident}", file=log)
@@ -177,20 +188,22 @@ def run_dump(
             flush_group()
             print(f"Processing sequence {seq.ident} for dumping", file=log)
             seq_missing = 0
-            blocks: list[bytes] = []
+            futs = []
             for start, rk, ak, km, kasm, kmis in engine.dump_sequence(seq.codes()):
                 g_kasm += kasm
                 seq_missing += kmis
                 if skip_missing:
                     continue
-                blocks.append(format_block(seq.ident, start, rk, ak, km))
+                futs.append(fmt_pool.submit(
+                    format_and_zip, seq.ident, start, rk, ak, km))
             print(f"Output sequence {seq.ident}", file=log)
-            offset = write_seq(seq_idx, blocks)
+            offset = write_seq(seq_idx, [f.result() for f in futs])
             g_missing += seq_missing
             print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}", file=log)
             ckpt.save(seq_idx, offset, {"missing": g_missing, "kasm": g_kasm})
         flush_group()
     finally:
+        fmt_pool.shutdown()
         if out is not None:
             out.close()
         if part is not None:

@@ -793,16 +793,32 @@ class KstarEngine:
         return stats, undr, over
 
     def dump_sequence(self, codes: np.ndarray):
-        """Yield (start, readK, asmK, kmetric, kasm, kmissing) per chunk."""
+        """Yield (start, readK, asmK, kmetric, kasm, kmissing) per chunk.
+
+        Keeps 2 dispatches in flight: chunk i+1's transfer + device
+        compute overlaps chunk i's result fetch (the dump analog of the
+        hist pipelining; without it every chunk pays the full round trip
+        of a remotely attached chip)."""
+        from collections import deque
+
         from merfin_tpu.score.kstar import k_metric_np
 
         if codes.shape[0] < self.k:
             return
         n_pos = codes.shape[0] - self.k + 1
-        for start, buf in self.chunks_of(codes):
-            rk, ak, kasm, kmis, overflow = self._dump_step(buf)
+
+        def finalize(start, out):
+            rk, ak, kasm, kmis, overflow = out
             self.overflow_values += int(overflow)
             n = min(self.chunk, n_pos - start)
             rk = np.asarray(rk)[:n].astype(np.float64, copy=False)
             ak = np.asarray(ak)[:n].astype(np.float64, copy=False)
-            yield (start, rk, ak, k_metric_np(rk, ak), int(kasm), int(kmis))
+            return (start, rk, ak, k_metric_np(rk, ak), int(kasm), int(kmis))
+
+        pending: deque = deque()
+        for start, buf in self.chunks_of(codes):
+            pending.append((start, self._dump_step(buf)))
+            if len(pending) > 2:
+                yield finalize(*pending.popleft())
+        while pending:
+            yield finalize(*pending.popleft())
