@@ -139,6 +139,21 @@ def merfin_main(argv: list[str]) -> int:
 
 
 def _usage() -> None:
+    # Full-parity help: same shape and content as the reference's usage
+    # dump (merfin.C:185-356) — per-mode sections with required/optional
+    # flags and output schemas — adapted where the backing store differs
+    # (MKDB instead of meryl) and extended with the TPU-specific flags.
+    _VCF_OPTS = (
+        "   Optional: -comb <N>    set the max N of combinations of variants to be evaluated (default: 15)\n"
+        "             -nosplit     without this option combinations larger than N are split\n"
+        "             -prob <file> use probabilities to adjust multiplicity to copy number (recommended)\n"
+        "             -debug       output a debug log, into <output>.THREAD_ID.debug.gz\n"
+        "\n")
+    _POLISH_OUT = (
+        "   Output: <output>.polish.vcf : variants chosen.\n"
+        "     use bcftools view -Oz <output>.polish.vcf and bcftools consensus -H 1 -f <seq.fasta> to polish.\n"
+        "     first ALT in heterozygous alleles are usually better supported by avg. |k*|.\n"
+        "\n\n")
     sys.stderr.write(
         "usage: merfin-tpu <report-type>        \\\n"
         "         -sequence <seq.fasta>     \\\n"
@@ -146,23 +161,147 @@ def _usage() -> None:
         "         -peak     <haploid_peak>  \\\n"
         "         -prob     <lookup_table>  \\\n"
         "         -vcf      <input.vcf>     \\\n"
-        "         -output   <output>        \n\n"
-        "  TPU-native reimplementation of merfin; same report types:\n"
-        "  -filter | -polish | -better | -strict | -loose | -hist | -dump | -completeness\n"
-        "  Plus all reference options: -seqmers -min -max -threads -memory\n"
-        "  -nosplit -comb -debug -skipMissing\n"
-        "  Extensions: -resume (checkpointed restart), -mesh DxT (shard the\n"
-        "  tables over a device mesh; all report types), -sortjoin/-nosortjoin\n"
-        "  (Pallas join kernel for -hist; auto on accelerators),\n"
-        "  -devscore/-nodevscore (fused on-device variant scoring; auto:\n"
-        "  on for -filter/-better/-strict/-loose where it is provably\n"
-        "  byte-identical, off for -polish/-debug which compare host doubles).\n"
-        "  Multi-host: set MERFIN_NUM_PROCESSES, MERFIN_PROCESS_ID and\n"
-        "  MERFIN_COORDINATOR (host:port) on every host; sequences/DB slices\n"
-        "  stripe across processes and rank 0 writes the merged outputs.\n"
+        "         -output   <output>        \n"
+        "\n"
+        "  Predict the kmer consequences of variant calls <input.vcf> given the consensus sequence <seq.fasta>\n"
+        "  and lookup the k-mer multiplicity in the consensus sequence <seq.mkdb> and in the reads <read.mkdb>.\n"
+        "\n"
+        "  Input -sequence and -vcf files can be FASTA or FASTQ; uncompressed, gz, bz2 or xz compressed\n"
+        "\n"
+        "  Each readmers can be filtered by value.  More advanced filtering\n"
+        "  requires a new database to be constructed using the db tools below.\n"
+        "    -min     m     Ignore kmers with value below m\n"
+        "    -max     m     Ignore kmers with value above m\n"
+        "    -threads t     Multithreading for lookup table construction, dump and hist.\n"
+        "\n"
+        "  Memory usage can be limited, within reason, by sacrificing kmer lookup\n"
+        "  speed.  If the lookup table requires more memory than allowed, the program\n"
+        "  exits with an error.\n"
+        "    -memory  m     Don't use more than m GB memory for loading mers\n"
+        "\n"
+        "  For k* based evaluation and polishing, -peak is required with optional -prob.\n"
+        "    -peak    m     Required input to hard set copy 1 and infer multiplicity to copy number (recommended).\n"
+        "    -prob    file  Optional input vector of probabilities. Adjust multiplicity to copy number\n"
+        "                   in case both -prob and -peak are provided, -prob takes higher priority\n"
+        "                   than -peak for multiplicity listed in the vector table.\n"
+        "\n"
+        "  By default, <seq.fasta>.mkdb will be generated unless -seqmers is provided.\n"
+        "    -seqmers seq.mkdb  Optional input for pre-built sequence kmer db\n"
+        "\n"
+        "  Exactly one report type must be specified.\n"
+        "\n\n"
+        "  -filter\n"
+        "   Filter variants within distance k and their combinations by missing k-mers.\n"
+        "   Assumes the reference (-sequence) is from a different individual.\n"
+        "   Required: -sequence, -readmers, -vcf, and -output\n"
+        "   Optional: -comb <N>  set the max N of combinations of variants to be evaluated (default: 15)\n"
+        "             -nosplit   without this option combinations larger than N are split\n"
+        "             -debug     output a debug log, into <output>.THREAD_ID.debug.gz\n"
+        "\n"
+        "   Output: <output>.filter.vcf : variants chosen.\n"
+        "\n\n"
+        "  -polish\n"
+        "   Score each variant, or variants within distance k and their combinations by k*.\n"
+        "   Assumes the reference (-sequence) is from the same individual.\n"
+        "\n"
+        "   Required: -sequence, -readmers, -peak, -vcf, and -output\n"
+        + _VCF_OPTS + _POLISH_OUT +
+        "  -loose (least conservative)\n"
+        "   Score each variant, or variants within distance k and their combinations without k*.\n"
+        "   Assumes the reference (-sequence) is partially from the same individual.\n"
+        "   Remove variants only when the num. missing (error) k-mers increase.\n"
+        "   Neutral alternative paths that score equally to the reference path are included.\n"
+        "   If multiple candidate paths tie, path with most ALT calls gets chosen.\n"
+        "\n"
+        "   Required: -sequence, -readmers, -peak, -vcf, and -output\n"
+        + _VCF_OPTS + _POLISH_OUT +
+        "  -strict (most conservative)\n"
+        "   Score each variant, or variants within distance k and their combinations without k*.\n"
+        "   Assumes the reference (-sequence) is partially from the same individual.\n"
+        "   Include variants only when the num. missing (error) k-mers decrease.\n"
+        "   Neutral alternative paths that score equally to the reference path are excluded.\n"
+        "   If multiple candidate paths tie, path with least ALT calls gets chosen.\n"
+        "\n"
+        "   Required: -sequence, -readmers, -peak, -vcf, and -output\n"
+        + _VCF_OPTS + _POLISH_OUT +
+        "  -better (legacy, nearly identical to -polish without k*)\n"
+        "   Score each variant, or variants within distance k and their combinations without k*.\n"
+        "   Assumes the reference (-sequence) is partially from the same individual.\n"
+        "   Include variants only when the num. missing (error) k-mers decrease.\n"
+        "   Neutral alternative paths that score equally to the reference path are excluded.\n"
+        "   If multiple candidate paths tie, the longest path is chosen.\n"
+        "\n"
+        "   Required: -sequence, -readmers, -peak, -vcf, and -output\n"
+        + _VCF_OPTS + _POLISH_OUT +
+        "  -hist\n"
+        "   Generate a 0-centered k* histogram for sequences in <input.fasta>.\n"
+        "     Positive k* values are expected collapsed copies.\n"
+        "     Negative k* values are expected expanded  copies.\n"
+        "     Closer to 0 means the expected and found k-mers are well balanced, 1:1.\n"
+        "\n"
+        "   Required: -sequence, -readmers, -peak, and -output.\n"
+        "   Optional: -prob <file>  use probabilities to adjust multiplicity to copy number (recommended)\n"
+        "\n"
+        "   Output: k* <tab> frequency\n"
+        "           Reports QV at the end, in stderr.\n"
+        "\n\n"
+        "  -dump\n"
+        "   Dump readK, asmK, and k* per bases (k-mers) in <input.fasta>.\n"
+        "\n"
+        "   Required: -sequence, -readmers, -peak, and -output\n"
+        "   Optional: -skipMissing  skip the missing kmer sites to be printed\n"
+        "             -prob <file>  use probabilities to adjust multiplicity to copy number (recommended)\n"
+        "\n"
+        "   Output: seqName <tab> seqPos <tab> readK <tab> asmK <tab> k*\n"
+        "      seqName    - name of the sequence this kmer is from\n"
+        "      seqPos     - start position (0-based) of the kmer in the sequence\n"
+        "      readK      - normalized read copies (read multiplicity / peak)\n"
+        "      asmK       - assembly copies as found in <seq.mkdb>\n"
+        "      k*         - 0-centered k* value\n"
+        "\n\n"
+        "  -completeness\n"
+        "   Compute kmer completeness using expected copy numbers for all kmers.\n"
+        "\n"
+        "   Required: -seqmers (or -sequence), -readmers, -peak\n"
+        "   Optional: -prob <file>  use probabilities to adjust multiplicity to copy number (recommended)\n"
+        "\n"
+        "   Output: total kmers in reads, number of kmers under the expected copy number, and completeness\n"
+        "\n\n"
+        "  Optional output from -debug in -filter and -polish:\n"
+        "   <output>.THREAD_ID.debug.gz : some useful info for debugging.\n"
+        "      seqName <tab> varMerStart <tab> varMerEnd <tab> varMerSeq <tab> score <tab> path\n"
+        "      varMerID                - unique numbering, starting from 0\n"
+        "      varMerRange             - seqName:start-end. position (0-based) of the variant (s),\n"
+        "                                including sequences upstream and downstream of k-1 bp\n"
+        "      varMerSeq               - combination of variant sequence to evalute\n"
+        "      numMissings             - total number of missing kmers\n"
+        "      min k*                  - minimum of all |k*| for non-missing kmers. -1 when all kmers are missing.\n"
+        "      max k*                  - maximum of all |k*| for non-missing kmers. -1 when all kmers are missing.\n"
+        "      median k*               - median  of all |k*| for non-missing kmers. -1 when all kmers are missing.\n"
+        "      avg k*                  - average of all |k*| for non-missing kmers. -1 when all kmers are missing.\n"
+        "      avg ref-alt k*          - difference between reference and alternate average k*.\n"
+        "      delta kmer multiplicity - cumulative sum of kmer multiplicity variation.\n"
+        "                                positive values imply recovered kmers, while\n"
+        "                                negative values imply overrepresented kmers introduced.\n"
+        "      record                  - vcf record with <tab> replaced to <space>.\n"
+        "                                only non-reference alleles are printed with GT being 1/1.\n"
+        "\n\n"
+        "  TPU extensions (all optional):\n"
+        "    -mesh DxT        shard the lookup tables over a DxT device mesh (all report types)\n"
+        "    -resume          checkpointed restart at the sequence boundary\n"
+        "    -sortjoin / -nosortjoin    Pallas sorted-join kernel for -hist (auto on accelerators)\n"
+        "    -devscore / -nodevscore    fused on-device variant scoring (auto: on for\n"
+        "                     -filter/-better/-strict/-loose where it is provably byte-identical;\n"
+        "                     off for -polish/-debug which compare host doubles)\n"
+        "  Multi-host: set MERFIN_NUM_PROCESSES, MERFIN_PROCESS_ID and MERFIN_COORDINATOR\n"
+        "  (host:port) on every host; sequences/DB slices stripe across processes and\n"
+        "  rank 0 writes the merged outputs.\n"
+        "\n"
         "  Databases are MKDB directories (build with: merfin-tpu count k=21 in.fq output db;\n"
         "  add memory=GB to bound the counter with disk spill);\n"
-        "  import a meryl db via its text dump: merfin-tpu import dump.txt output=db.\n\n"
+        "  import a meryl db via its text dump: merfin-tpu import dump.txt output=db.\n"
+        "  Other db tools: print statistics histogram intersect union-sum subtract divide-round export.\n"
+        "\n\n"
     )
 
 
