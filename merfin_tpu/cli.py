@@ -345,8 +345,8 @@ def run(cfg: MerfinConfig) -> int:
 
     multi = mh.maybe_init_from_env(log=log)
     if multi:
-        if cfg.resume or cfg.debug:
-            print("ERROR: -resume/-debug are not supported with multi-host runs.",
+        if cfg.debug:
+            print("ERROR: -debug is not supported with multi-host runs.",
                   file=log)
             return 1
 

@@ -59,21 +59,50 @@ def run_dump(
     pid, pcount = 0, 1
     if multi:
         pid, pcount = mh.process_info()
-        assert not resume, "-resume is not supported with multi-host runs"
-        if not skip_missing:
-            from merfin_tpu.utils.partmerge import PartWriter
 
-            part = PartWriter(out_name, pid)
-
-    ckpt = Checkpoint(out_name, "dump", enabled=resume)
+    # Multi-host resume: every rank writes its own part file (striped —
+    # its sequence stripe; spans — its devices' chunk rows), so both
+    # shapes keep per-rank checkpoints with resumable parts.  In spans
+    # mode the loop runs collectives per sequence, so ranks must resume
+    # in lockstep: if their checkpoints disagree (killed between a
+    # collective and the save), the mode restarts fresh — correct,
+    # just unamortized.
+    ckpt = Checkpoint(f"{out_name}.rank{pid}" if multi else out_name,
+                      "dump", enabled=resume)
     skip = 0
+    part_resume = None
+    restored_chunk_base = 0
     if resume and (st := ckpt.load()) is not None:
         skip = st["seqs_done"]
         g_missing = st["accum"]["missing"]
         g_kasm = st["accum"]["kasm"]
-        if not skip_missing:
+        restored_chunk_base = st["accum"].get("chunk_base", 0)
+        if multi:
+            part_resume = (st["accum"].get("n_extents", 0),
+                           st["output_offset"])
+        elif not skip_missing:
             truncate_to(out_name, st["output_offset"])
         print(f"-- Resuming after {skip} sequences.", file=log)
+    if multi and spans and resume:
+        skips = mh.allgather_scalar(float(skip))
+        if not (skips == skips[0]).all():
+            print("-- Rank checkpoints disagree; restarting -dump fresh.",
+                  file=log)
+            skip = 0
+            part_resume = None
+            restored_chunk_base = 0
+            g_missing = 0
+            g_kasm = 0
+    if multi and not skip_missing:
+        from merfin_tpu.utils.partmerge import PartWriter
+
+        part = PartWriter(out_name, pid, resume_state=part_resume)
+
+    def ckpt_accum() -> dict:
+        a = {"missing": g_missing, "kasm": g_kasm}
+        if part is not None:
+            a["n_extents"] = len(part.extents)
+        return a
 
     is_gz = out_name is not None and out_name.endswith(".gz")
     seq_idx = 0
@@ -105,7 +134,9 @@ def run_dump(
         data = b"".join(blocks)
         if part is not None:
             part.write_seq(idx, data)
-            return 0
+            if ckpt.enabled:
+                part.flush_idx()
+            return part.offset
         if out is None:
             out = open(out_name, "ab" if (resume and skip) else "wb")
         out.write(data)
@@ -139,11 +170,11 @@ def run_dump(
             g_kasm += kasm
             g_missing += kmis
             print(f"{s.ident}\t{kmis}\t{g_missing}\t{g_kasm}", file=log)
-        ckpt.save(group[-1][0], offset, {"missing": g_missing, "kasm": g_kasm})
+        ckpt.save(group[-1][0], offset, ckpt_accum())
         group = []
         group_pos = 0
 
-    chunk_base = 0   # global chunk ordinal (spans mode part keys)
+    chunk_base = restored_chunk_base   # global chunk ordinal (spans keys)
     try:
         from merfin_tpu.utils.prefetch import prefetch_iter
 
@@ -177,6 +208,13 @@ def run_dump(
                 g_missing += seq_missing
                 print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}",
                       file=log)
+                if ckpt.enabled:
+                    if part is not None:
+                        part.flush_idx()
+                    acc = ckpt_accum()
+                    acc["chunk_base"] = chunk_base
+                    ckpt.save(seq_idx,
+                              part.offset if part is not None else 0, acc)
                 continue
             need = seq.length + engine.k - 1
             if cap and need <= cap:
@@ -200,7 +238,7 @@ def run_dump(
             offset = write_seq(seq_idx, [f.result() for f in futs])
             g_missing += seq_missing
             print(f"{seq.ident}\t{seq_missing}\t{g_missing}\t{g_kasm}", file=log)
-            ckpt.save(seq_idx, offset, {"missing": g_missing, "kasm": g_kasm})
+            ckpt.save(seq_idx, offset, ckpt_accum())
         flush_group()
     finally:
         fmt_pool.shutdown()
@@ -214,6 +252,11 @@ def run_dump(
             g_missing = int(mh.merge_scalar_across_hosts(g_missing))
             g_kasm = int(mh.merge_scalar_across_hosts(g_kasm))
         mh.barrier("dump-parts")
+        # resume window closes here: a crash during the merge re-runs
+        # the mode from scratch instead of resuming against consumed
+        # part files (utils/checkpoint.py)
+        ckpt.done()
+        mh.barrier("dump-ckpt-clear")
         if pid == 0 and not skip_missing:
             from merfin_tpu.utils.partmerge import merge_parts
 

@@ -55,9 +55,15 @@ def run_hist(engine: KstarEngine, seq_file: SeqFile, out_name: str, log=sys.stde
     pid = 0
     if multi:
         pid, _ = mh.process_info()
-        assert not resume, "-resume is not supported with multi-host runs"
 
-    ckpt = Checkpoint(out_name, "hist", enabled=resume)
+    # Multi-host resume: striped ranks checkpoint their own stripe's
+    # partial accumulators independently (per-rank sidecar); spans ranks
+    # compute replicated results, so they share rank 0's checkpoint and
+    # only rank 0 writes it (utils/checkpoint.py).
+    striped = multi and not spans
+    ckpt = Checkpoint(f"{out_name}.rank{pid}" if striped else out_name,
+                      "hist", enabled=resume,
+                      writer=striped or (not multi) or pid == 0)
     skip = 0
     if resume and (st := ckpt.load()) is not None:
         skip = st["seqs_done"]

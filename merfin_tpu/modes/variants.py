@@ -239,21 +239,34 @@ def run_variants(
     pid, pcount = 0, 1
     if multi:
         pid, pcount = mh.process_info()
-        assert not resume and not debug, \
-            "-resume/-debug are not supported with multi-host runs"
-        if not spans:
-            from merfin_tpu.utils.partmerge import PartWriter
-
-            part = PartWriter(out_path, pid)
+        assert not debug, "-debug is not supported with multi-host runs"
 
     # Checkpoint/resume at the sequence boundary (not combinable with
     # -debug: the per-thread debug gz stream is not offset-restartable).
-    ckpt = Checkpoint(out_name, f"variants-{mode}", enabled=resume and not debug)
+    # Multi-host: striped ranks keep independent per-rank checkpoints
+    # plus resumable part files (no collectives run inside the striped
+    # loop, so ranks resume wherever each one stopped); spans ranks all
+    # drive the same sequences, so they share rank 0's checkpoint on the
+    # shared filesystem and only rank 0 writes it (utils/checkpoint.py).
+    striped = multi and not spans
+    ckpt = Checkpoint(f"{out_name}.rank{pid}" if striped else out_name,
+                      f"variants-{mode}",
+                      enabled=resume and not debug,
+                      writer=striped or (not multi) or pid == 0)
     skip = 0
+    part_resume = None
     if resume and not debug and (st := ckpt.load()) is not None:
         skip = st["seqs_done"]
-        truncate_to(out_path, st["output_offset"])
+        if striped:
+            part_resume = (st["accum"].get("n_extents", 0),
+                           st["output_offset"])
+        elif not multi or pid == 0:
+            truncate_to(out_path, st["output_offset"])
         print(f"-- Resuming after {skip} sequences.", file=log)
+    if striped:
+        from merfin_tpu.utils.partmerge import PartWriter
+
+        part = PartWriter(out_path, pid, resume_state=part_resume)
 
     def ensure_out():
         nonlocal out
@@ -362,6 +375,10 @@ def run_variants(
         n_selected += text.count("\n")
         if part is not None:
             part.write_seq(seq_idx, text.encode())
+            if ckpt.enabled:
+                part.flush_idx()
+                ckpt.save(seq_idx, part.offset,
+                          {"n_extents": len(part.extents)})
         elif not multi or pid == 0:
             f = ensure_out()
             f.write(text.encode())
@@ -382,6 +399,11 @@ def run_variants(
 
         n_selected = int(mh.merge_scalar_across_hosts(n_selected))
         mh.barrier("variants-parts")
+        # drop per-rank checkpoints BEFORE the merge consumes the parts:
+        # a crash inside the merge window re-runs from scratch instead of
+        # resuming against missing part files (utils/checkpoint.py).
+        ckpt.done()
+        mh.barrier("variants-ckpt-clear")
         if pid == 0:
             header = "".join(h + "\n" for h in vcf.headers).encode()
             merge_parts(out_path, pcount, header=header)

@@ -148,6 +148,20 @@ def max_scalar_across_hosts(x: float) -> float:
     return float(np.asarray(out).max())
 
 
+def allgather_scalar(x: float) -> np.ndarray:
+    """Every rank's value of a host-local scalar, indexed by rank."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return np.asarray([x], dtype=np.float64)
+    from jax.experimental import multihost_utils
+
+    arr = jnp.asarray([x], dtype=jnp.float64)
+    out = multihost_utils.process_allgather(arr)
+    return np.asarray(out).reshape(-1)
+
+
 def merge_array_across_hosts(x: np.ndarray) -> np.ndarray:
     """Elementwise global sum of a host-local accumulator array."""
     import jax

@@ -9,6 +9,19 @@ accumulator state.  Resume truncates the output to the recorded offset
 (dropping any partial tail) and restores the accumulators, so a killed
 run continues exactly where it left off.
 
+Multi-host runs checkpoint too (the shared filesystem is the same
+contract partmerge.py already relies on):
+
+  * striped shape — each rank keeps its own `<out>.rankN.ckpt.json`
+    plus its own resumable part file; ranks resume independently (no
+    collectives run inside the striped loops).
+  * host-spanning mesh shape — every rank drives the same sequences, so
+    rank 0's checkpoint is the authoritative shared state: all ranks
+    `load()` the same file, only the `writer` rank saves/removes it.
+  * All ranks drop their checkpoints at a barrier BEFORE rank 0 merges
+    part files: a crash inside the merge window degrades to a full
+    (correct) re-run instead of resuming against consumed parts.
+
 The checkpoint write is atomic (tmp + rename).
 """
 
@@ -20,10 +33,12 @@ from typing import Any
 
 
 class Checkpoint:
-    def __init__(self, out_name: str, mode: str, enabled: bool = True):
+    def __init__(self, out_name: str, mode: str, enabled: bool = True,
+                 writer: bool = True):
         self.path = f"{out_name}.ckpt.json" if out_name else None
         self.mode = mode
         self.enabled = enabled and self.path is not None
+        self.writer = writer
         self.state: dict[str, Any] | None = None
 
     def load(self) -> dict[str, Any] | None:
@@ -41,7 +56,7 @@ class Checkpoint:
         return st
 
     def save(self, seqs_done: int, output_offset: int, accum: dict[str, Any]) -> None:
-        if not self.enabled:
+        if not self.enabled or not self.writer:
             return
         st = {
             "mode": self.mode,
@@ -56,7 +71,7 @@ class Checkpoint:
 
     def done(self) -> None:
         """Remove the checkpoint on successful completion."""
-        if self.enabled and os.path.exists(self.path):
+        if self.enabled and self.writer and os.path.exists(self.path):
             os.remove(self.path)
 
 

@@ -7,6 +7,15 @@ the single ordered output the reference's in-order writer produces
 (merfin.C:384).  Replaces the Slurm scripts' `bcftools concat` gather
 (scripts/parallel1/consensus.sh:20-31) with an exact, offset-based merge
 over the shared filesystem.
+
+For -resume, a part file is restartable: the owning rank's checkpoint
+records (n_extents, byte offset) and the extent table is flushed to the
+sidecar `.idx.json` at the same cadence (flush_idx() before each
+checkpoint save), so a resumed rank truncates both back to the last
+checkpointed state and appends.  The final merge is atomic (tmp +
+rename); ranks drop their checkpoints before it runs, so a crash during
+the merge re-runs the mode from scratch rather than resuming against
+already-consumed parts.
 """
 
 from __future__ import annotations
@@ -16,17 +25,50 @@ import os
 
 
 class PartWriter:
-    """One process's shard: appended bytes + per-sequence extents."""
+    """One process's shard: appended bytes + per-sequence extents.
 
-    def __init__(self, out_name: str, pid: int):
+    ``resume_state`` is (n_extents, offset) from the rank's checkpoint;
+    when given and the part file exists, the extent table and the file
+    are truncated back to that state and writing appends.
+    """
+
+    def __init__(self, out_name: str, pid: int,
+                 resume_state: tuple[int, int] | None = None):
         self.path = f"{out_name}.part{pid}"
-        self._f = open(self.path, "wb")
         self.extents: list[list[int]] = []   # [seq_idx, start, end]
+        if resume_state is not None and os.path.exists(self.path):
+            n_ext, offset = resume_state
+            try:
+                with open(self.path + ".idx.json") as f:
+                    loaded = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                loaded = []
+            if len(loaded) >= n_ext:
+                self.extents = [list(e) for e in loaded[:n_ext]]
+                with open(self.path, "rb+") as f:
+                    f.truncate(offset)
+                self._f = open(self.path, "ab")
+                return
+            # stale/short idx (crash before the first flush): start over
+        self._f = open(self.path, "wb")
+
+    @property
+    def offset(self) -> int:
+        return self._f.tell()
 
     def write_seq(self, seq_idx: int, data: bytes) -> None:
         start = self._f.tell()
         self._f.write(data)
         self.extents.append([seq_idx, start, self._f.tell()])
+
+    def flush_idx(self) -> None:
+        """Persist the extent table (atomically) so a checkpoint taken
+        now can be resumed against it."""
+        self._f.flush()
+        tmp = self.path + ".idx.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.extents, f)
+        os.replace(tmp, self.path + ".idx.json")
 
     def close(self) -> None:
         self._f.flush()
@@ -36,8 +78,9 @@ class PartWriter:
 
 
 def merge_parts(out_name: str, nparts: int, header: bytes = b"") -> None:
-    """Concatenate part files in ascending sequence order into out_name,
-    then remove the parts.  Caller must barrier all writers first."""
+    """Concatenate part files in ascending sequence order into out_name
+    (atomic: tmp + rename), then remove the parts.  Caller must barrier
+    all writers first."""
     rows: list[tuple[int, int, int, int]] = []   # (seq_idx, part, start, end)
     for p in range(nparts):
         idx_path = f"{out_name}.part{p}.idx.json"
@@ -46,8 +89,9 @@ def merge_parts(out_name: str, nparts: int, header: bytes = b"") -> None:
                 rows.append((seq_idx, p, start, end))
     rows.sort()
     handles = [open(f"{out_name}.part{p}", "rb") for p in range(nparts)]
+    tmp_out = out_name + ".tmpmerge"
     try:
-        with open(out_name, "wb") as out:
+        with open(tmp_out, "wb") as out:
             out.write(header)
             for _, p, start, end in rows:
                 handles[p].seek(start)
@@ -61,6 +105,7 @@ def merge_parts(out_name: str, nparts: int, header: bytes = b"") -> None:
     finally:
         for h in handles:
             h.close()
+    os.replace(tmp_out, out_name)
     for p in range(nparts):
         os.remove(f"{out_name}.part{p}")
         os.remove(f"{out_name}.part{p}.idx.json")
