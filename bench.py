@@ -138,11 +138,12 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
                     "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
             for p in positions:
                 f.write(f"c\t{p + 1}\t.\t{asm[p]}\t{genome[p]}\t30\tPASS\t.\tGT\t1/1\n")
-        # warmup: compile the lookup programs so the rate measures
-        # steady-state evaluation, not one-time compiles
+        # warmup: one full pass primes every compiled shape the timed
+        # pass will dispatch (the timed workload's own padded query
+        # sizes, not a subset's) so the rate measures steady-state
+        # evaluation, not one-time remote compiles
         wv = VcfFile(vcfp, log=io.StringIO())
         wv.merge_clusters(k, 15, False, log=io.StringIO())
-        wv.by_chrom = {c: v[:20] for c, v in wv.by_chrom.items()}
         run_variants("polish", SeqFile(fasta), wv, k,
                      read_lookup.lookup_np, asm_lookup.lookup_np,
                      peak=30.0, prob_table=None,
@@ -251,9 +252,10 @@ def _bench_variants_heavy(k=21, n_clusters=4, n_vars=15, spacing=8):
                          query_budget=1 << 22)   # one cluster per dispatch
             return n_real / (time.perf_counter() - t0)
 
-        once(scorer, "warm_dev", clusters=1)     # compile the fused program
+        once(scorer, "warm_dev")                 # compile every shape
         dev_rate = once(scorer, "dev")
         dev2 = once(scorer, "dev2", clusters=2)  # equality subset
+        once(None, "warm_host", clusters=2)      # compile host-path shapes
         host_rate = once(None, "host", clusters=2)
         a = open(os.path.join(td, "dev2.polish.vcf"), "rb").read()
         b = open(os.path.join(td, "host.polish.vcf"), "rb").read()

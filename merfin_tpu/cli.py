@@ -531,6 +531,10 @@ def run(cfg: MerfinConfig) -> int:
         use_dev = cfg.devscore
         if use_dev is None:
             use_dev = cfg.report_type != "polish" and not cfg.debug
+        elif use_dev and cfg.debug:
+            print("ERROR: -debug needs per-window K* stats; it cannot run "
+                  "with -devscore.", file=log)
+            return 1
         if use_dev:
             print("-- Using fused device scoring (-devscore).", file=log)
             if mesh is not None:

@@ -80,9 +80,24 @@ def run_dump(
         if multi:
             part_resume = (st["accum"].get("n_extents", 0),
                            st["output_offset"])
+            from merfin_tpu.utils.partmerge import can_resume_part
+
+            if not skip_missing and not can_resume_part(
+                    out_name, pid, *part_resume):
+                # torn part/idx state: restart this rank fresh rather
+                # than resuming a skip whose rows are gone (in spans
+                # mode the consensus below then restarts every rank)
+                print("-- Part file state unusable; restarting fresh.",
+                      file=log)
+                skip = 0
+                part_resume = None
+                restored_chunk_base = 0
+                g_missing = 0
+                g_kasm = 0
         elif not skip_missing:
             truncate_to(out_name, st["output_offset"])
-        print(f"-- Resuming after {skip} sequences.", file=log)
+        if skip:
+            print(f"-- Resuming after {skip} sequences.", file=log)
     if multi and spans and resume:
         skips = mh.allgather_scalar(float(skip))
         if not (skips == skips[0]).all():
@@ -158,15 +173,17 @@ def run_dump(
         if not group:
             return
         results = engine.dump_group([s.codes() for _, s in group])
+        # with -skipMissing nothing is written: don't format/compress
         futs = [fmt_pool.submit(format_and_zip, s.ident, 0, rk, ak, km)
-                for (_, s), (rk, ak, km, _, _) in zip(group, results)]
+                for (_, s), (rk, ak, km, _, _) in zip(group, results)] \
+            if not skip_missing else [None] * len(group)
         offset = 0
         for (idx, s), (rk, ak, km, kasm, kmis), fut in zip(group, results,
                                                            futs):
             # per-sequence Processing/Output interleaving (merfin-dump.C)
             print(f"Processing sequence {s.ident} for dumping", file=log)
             print(f"Output sequence {s.ident}", file=log)
-            offset = write_seq(idx, [fut.result()])
+            offset = write_seq(idx, [fut.result()] if fut is not None else [])
             g_kasm += kasm
             g_missing += kmis
             print(f"{s.ident}\t{kmis}\t{g_missing}\t{g_kasm}", file=log)

@@ -607,17 +607,23 @@ class KstarEngine:
         inputs, _ = self._group_inputs(seqs)
         out = self._hist_group_impl(*inputs, *self._step_args(),
                                     self.bin_table.device_arrays())
-        return n_seq, out
+        # the handle carries its dispatch-time nbins: with 2 groups in
+        # flight, grow_bins() may run between a group's dispatch and its
+        # finalize, and the overflow check must compare against the bin
+        # count the group was actually CLIPPED to
+        return n_seq, self.nbins, out
 
     def hist_group_finalize(self, handle):
         """Fetch one hist_group_dispatch's results:
         (stats_list, undr, over, kover_total)."""
-        n_seq, (kasm_seg, kmis_seg, kover_fb, uh, oh, max_idx,
-                overflow, fallbacks, kc, kn, kr, kfbc) = handle
+        n_seq, nbins_d, (kasm_seg, kmis_seg, kover_fb, uh, oh, max_idx,
+                         overflow, fallbacks, kc, kn, kr, kfbc) = handle
+        if int(max_idx) >= nbins_d:
+            raise BinOverflow(int(max_idx), nbins_d)
+        # count diagnostics only for dispatches that survive: a retried
+        # group re-counts its windows exactly once
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
-        if int(max_idx) >= self.nbins:
-            raise BinOverflow(int(max_idx), self.nbins)
         kover = self._finish_kover(kover_fb, kc, kn, kr, kfbc)
         kasm_seg = np.asarray(kasm_seg)
         kmis_seg = np.asarray(kmis_seg)
@@ -781,10 +787,12 @@ class KstarEngine:
 
         (kasm, kmissing, kover_fb, uh, oh, max_idx,
          overflow, fallbacks, kc, kn, kr, kfbc) = state
-        self.overflow_values += int(overflow)
-        self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= self.nbins:
             raise BinOverflow(int(max_idx), self.nbins)
+        # diagnostics counted only on success (grow-and-retry re-runs
+        # the sequence; counting before the raise would double it)
+        self.overflow_values += int(overflow)
+        self.bin_fallbacks += int(fallbacks)
         stats.kasm = int(kasm)
         stats.kmissing = int(kmissing)
         stats.kover_cpy = self._finish_kover(kover_fb, kc, kn, kr, kfbc)

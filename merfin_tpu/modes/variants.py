@@ -200,8 +200,12 @@ def run_variants(
     from merfin_tpu.utils.checkpoint import Checkpoint, truncate_to
 
     assert mode in ("filter", "polish", "better", "strict", "loose")
-    assert not (debug and scorer is not None), \
-        "-debug needs per-window K* stats; use the host scorer"
+    if debug and scorer is not None:
+        # not an assert: the device scorer reduces num_m/totdk on device
+        # and leaves the per-window kstr arrays empty, so -debug output
+        # would be silently wrong (and asserts vanish under python -O)
+        raise ValueError("-debug needs per-window K* stats; "
+                         "it cannot run with the device scorer (-devscore)")
     filter_mode = mode == "filter"
 
     if not threads:   # 0 = auto, like getMaxThreadsAllowed (merfin.C:108)
@@ -255,14 +259,28 @@ def run_variants(
                       writer=striped or (not multi) or pid == 0)
     skip = 0
     part_resume = None
+    n_selected = 0
     if resume and not debug and (st := ckpt.load()) is not None:
         skip = st["seqs_done"]
+        n_selected = st["accum"].get("records", 0)
         if striped:
             part_resume = (st["accum"].get("n_extents", 0),
                            st["output_offset"])
+            from merfin_tpu.utils.partmerge import can_resume_part
+
+            if not can_resume_part(out_path, pid, *part_resume):
+                # torn part/idx state on disk: restart this rank's
+                # stripe from scratch rather than silently dropping the
+                # checkpointed rows from the merged output
+                print("-- Part file state unusable; restarting this "
+                      "rank's stripe fresh.", file=log)
+                skip = 0
+                part_resume = None
+                n_selected = 0
         elif not multi or pid == 0:
             truncate_to(out_path, st["output_offset"])
-        print(f"-- Resuming after {skip} sequences.", file=log)
+        if skip:
+            print(f"-- Resuming after {skip} sequences.", file=log)
     if striped:
         from merfin_tpu.utils.partmerge import PartWriter
 
@@ -279,7 +297,6 @@ def run_variants(
                     out.write(h.encode() + b"\n")
         return out
 
-    n_selected = 0
     seq_idx = 0
     for seq in seq_file:
         seq_idx += 1
@@ -295,7 +312,7 @@ def run_variants(
         clusters = vcf.by_chrom.get(seq.ident)
         if clusters is None:
             if out is not None:
-                ckpt.save(seq_idx, out.tell(), {})
+                ckpt.save(seq_idx, out.tell(), {"records": n_selected})
             continue
         print(f"Processing sequence {seq.ident} for variants", file=log)
 
@@ -378,12 +395,13 @@ def run_variants(
             if ckpt.enabled:
                 part.flush_idx()
                 ckpt.save(seq_idx, part.offset,
-                          {"n_extents": len(part.extents)})
+                          {"n_extents": len(part.extents),
+                           "records": n_selected})
         elif not multi or pid == 0:
             f = ensure_out()
             f.write(text.encode())
             f.flush()
-            ckpt.save(seq_idx, f.tell(), {})
+            ckpt.save(seq_idx, f.tell(), {"records": n_selected})
 
     if pool is not None:
         pool.close()

@@ -144,10 +144,12 @@ class ShardedKstarEngine:
             state = self._step(state, *inp)
         (kasm, kmissing, kover_fb, uh, oh, max_idx,
          overflow, fallbacks, kc, kn, kr, kfbc) = state
-        self.overflow_values += int(overflow)
-        self.bin_fallbacks += int(fallbacks)
         if int(max_idx) >= self.nbins:
             raise BinOverflow(int(max_idx), self.nbins)
+        # diagnostics counted only on success (grow-and-retry re-runs
+        # the sequence; counting before the raise would double it)
+        self.overflow_values += int(overflow)
+        self.bin_fallbacks += int(fallbacks)
         stats.kasm = int(kasm)
         stats.kmissing = int(kmissing)
         stats.kover_cpy = self._finish_kover(kover_fb, kc, kn, kr, kfbc)
@@ -177,7 +179,9 @@ class ShardedKstarEngine:
             codes_b, seg_b, _ = pack_group(seqs, self.k, self.chunk,
                                            self.data, self.group_capacity)
             inputs = (self._put(codes_b), self._put(seg_b))
-        return len(seqs), self._group_step(*inputs)
+        # dispatch-time nbins rides the handle (see KstarEngine.
+        # hist_group_dispatch: grow_bins may run while 2 are in flight)
+        return len(seqs), self.nbins, self._group_step(*inputs)
 
     def _finish_kover(self, kover_fb, kc, kn, kr, kfbc) -> float:
         from merfin_tpu.score.kover import finish_kover
@@ -189,12 +193,12 @@ class ShardedKstarEngine:
 
     def hist_group_finalize(self, handle):
         """Fetch one hist_group_dispatch's results."""
-        n_seq, (kasm_seg, kmis_seg, kover_fb, uh, oh, max_idx,
-                overflow, fallbacks, kc, kn, kr, kfbc) = handle
+        n_seq, nbins_d, (kasm_seg, kmis_seg, kover_fb, uh, oh, max_idx,
+                         overflow, fallbacks, kc, kn, kr, kfbc) = handle
+        if int(max_idx) >= nbins_d:
+            raise BinOverflow(int(max_idx), nbins_d)
         self.overflow_values += int(overflow)
         self.bin_fallbacks += int(fallbacks)
-        if int(max_idx) >= self.nbins:
-            raise BinOverflow(int(max_idx), self.nbins)
         kover = self._finish_kover(kover_fb, kc, kn, kr, kfbc)
         kasm_seg = np.asarray(kasm_seg)
         kmis_seg = np.asarray(kmis_seg)

@@ -24,32 +24,61 @@ import json
 import os
 
 
+def _load_idx(path: str) -> list:
+    try:
+        with open(path + ".idx.json") as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return []
+
+
+def can_resume_part(out_name: str, pid: int, n_ext: int, offset: int) -> bool:
+    """True when the on-disk part/idx state can honor a checkpoint that
+    recorded (n_ext extents, offset bytes).  Callers must fall back to a
+    FRESH run of the rank's work when this is False — resuming the skip
+    while silently truncating the part would drop the checkpointed rows
+    from the merged output."""
+    if n_ext == 0:
+        return True
+    path = f"{out_name}.part{pid}"
+    if not os.path.exists(path) or os.path.getsize(path) < offset:
+        return False
+    loaded = _load_idx(path)
+    if len(loaded) < n_ext:
+        return False
+    return loaded[n_ext - 1][2] == offset
+
+
 class PartWriter:
     """One process's shard: appended bytes + per-sequence extents.
 
     ``resume_state`` is (n_extents, offset) from the rank's checkpoint;
-    when given and the part file exists, the extent table and the file
-    are truncated back to that state and writing appends.
+    when given, the extent table and the file are truncated back to that
+    state and writing appends.  Callers validate with can_resume_part()
+    first; an unusable state raises rather than silently starting over
+    (the caller's sequence skip would otherwise lose rows).
     """
 
     def __init__(self, out_name: str, pid: int,
                  resume_state: tuple[int, int] | None = None):
         self.path = f"{out_name}.part{pid}"
         self.extents: list[list[int]] = []   # [seq_idx, start, end]
-        if resume_state is not None and os.path.exists(self.path):
+        if resume_state is not None and resume_state[0] > 0:
             n_ext, offset = resume_state
-            try:
-                with open(self.path + ".idx.json") as f:
-                    loaded = json.load(f)
-            except (OSError, json.JSONDecodeError):
-                loaded = []
-            if len(loaded) >= n_ext:
-                self.extents = [list(e) for e in loaded[:n_ext]]
-                with open(self.path, "rb+") as f:
-                    f.truncate(offset)
-                self._f = open(self.path, "ab")
-                return
-            # stale/short idx (crash before the first flush): start over
+            loaded = _load_idx(self.path)
+            if (not os.path.exists(self.path)
+                    or os.path.getsize(self.path) < offset
+                    or len(loaded) < n_ext
+                    or loaded[n_ext - 1][2] != offset):
+                raise ValueError(
+                    f"part file {self.path} cannot honor resume state "
+                    f"(n_extents={n_ext}, offset={offset}); "
+                    f"re-run the rank fresh")
+            self.extents = [list(e) for e in loaded[:n_ext]]
+            with open(self.path, "rb+") as f:
+                f.truncate(offset)
+            self._f = open(self.path, "ab")
+            return
         self._f = open(self.path, "wb")
 
     @property

@@ -178,6 +178,46 @@ def test_hist_bin_growth_high_copy_repeat(tmp_path, chunk):
     assert lines == expect
 
 
+def test_hist_group_finalize_checks_dispatch_time_nbins(tmp_path):
+    """A pipelined group dispatched BEFORE grow_bins() was clipped to
+    the old bin count; its finalize must raise BinOverflow against the
+    dispatch-time nbins, not silently pass the grown engine's check
+    (regression: 2-in-flight hist pipelining + growth)."""
+    from merfin_tpu.modes.engine import BinOverflow
+
+    rng = random.Random(7)
+    flank1, flank2 = random_dna(rng, 120), random_dna(rng, 120)
+    asm = flank1 + "A" * (10_000 + K - 1) + flank2
+    collapsed = flank1 + "A" * K + flank2
+    reads = [collapsed] * 4
+
+    read_db = db_from_dict(refmodel.count_canonical(reads, K), K,
+                           str(tmp_path / "read"))
+    asm_db = db_from_dict(refmodel.count_canonical([asm], K), K,
+                          str(tmp_path / "asm"))
+    engine = KstarEngine(build_lookup(read_db), build_lookup(asm_db),
+                         K, PEAK, chunk=8192, batch=2)
+    from merfin_tpu.kcore.pack import encode_bases
+
+    codes = encode_bases(asm)
+    handle = engine.hist_group_dispatch([codes])
+    engine.grow_bins(1 << 16)                 # grow while in flight
+    with pytest.raises(BinOverflow):
+        engine.hist_group_finalize(handle)
+    # counters only count successful finalizes (no double-count on the
+    # grow-and-retry loop)
+    assert engine.overflow_values == 0 and engine.bin_fallbacks == 0
+    # the retried dispatch under the grown bins succeeds and matches
+    stats, uh, oh, kover = engine.hist_group_finalize(
+        engine.hist_group_dispatch([codes]))
+    _, undr, _, kasm, kmissing, _ = refmodel.hist_mode(
+        [("chr", asm)], refmodel.count_canonical(reads, K),
+        refmodel.count_canonical([asm], K), K, PEAK)
+    assert stats[0].kasm == kasm and stats[0].kmissing == kmissing
+    for ii, n in undr.items():
+        assert uh[ii] == n
+
+
 def test_hist_sortjoin_engine_matches(setup, tmp_path):
     """The gather-free sorted-join hist path gives identical results."""
     base = _engine(setup, prob=setup["prob"], chunk=512)
