@@ -73,7 +73,13 @@ def _flat_planes(all_paths: list[VarPath], starts: np.ndarray, n_win: int,
     forward-fill reset boundary)."""
     if n_win == 0:
         return np.zeros(0, bool), np.zeros(0, np.int64)
-    path_start = np.repeat(starts[:-1], np.diff(starts))[:n_win]
+    # per-window owning-path start: scatter each start then running max
+    # (np.repeat over 100k+ variable-width segments is several times
+    # slower at heavy-cluster scale)
+    path_start = np.zeros(n_win, dtype=np.int64)
+    own = starts[:-1][(starts[:-1] > 0) & (starts[:-1] < n_win)]
+    path_start[own] = own
+    np.maximum.accumulate(path_start, out=path_start)
 
     # adjustment intervals -> one difference plane (vectorized per
     # cluster would need ragged [P, n_var] handling across clusters;
@@ -89,12 +95,19 @@ def _flat_planes(all_paths: list[VarPath], starts: np.ndarray, n_win: int,
             j += 1
         if n_var:
             block = all_paths[i:j]
-            idxp = np.asarray([p.idx_path for p in block], dtype=np.int64)
-            lenp = np.asarray([p.len_path for p in block], dtype=np.int64)
-            gtp = np.asarray([p.gt_path for p in block], dtype=np.int64)
+            cnt = (j - i) * n_var
+            # np.fromiter over a flat generator beats np.asarray on a
+            # nested list-of-lists ~10x at 100k+ paths per cluster
+            idxp = np.fromiter((x for p in block for x in p.idx_path),
+                               np.int64, count=cnt).reshape(j - i, n_var)
+            lenp = np.fromiter((x for p in block for x in p.len_path),
+                               np.int64, count=cnt).reshape(j - i, n_var)
+            gtp = np.fromiter((x for p in block for x in p.gt_path),
+                              np.int64, count=cnt).reshape(j - i, n_var)
             a = starts[i:j, None]
-            ni = np.asarray([max(0, len(p.seq) - k + 1) for p in block],
-                            dtype=np.int64)[:, None]
+            ni = np.maximum(
+                0, np.fromiter((len(p.seq) for p in block), np.int64,
+                               count=j - i) - k + 1)[:, None]
             ok = (gtp > 0) & (idxp + 1 >= k)    # uint32 underflow quirk
             lo = a + np.maximum(0, idxp + 1 - k)
             hi = a + np.minimum(ni, idxp + lenp + k)
@@ -167,7 +180,16 @@ def _score_stream_host(stream, starts, adjust, path_start, k, lookup_read,
     # host->device transfer shrink by the redundancy factor (2-10x
     # typical; 2^n-path multiallelic clusters 1000x).
     if canon.size > 4096:
-        uq, inv = np.unique(canon, return_inverse=True)
+        # manual sort-based dedup: np.unique(return_inverse=True) pays a
+        # stable argsort plus extra passes (~5x slower at 20M+ windows)
+        order = np.argsort(canon)
+        sc = canon[order]
+        newg = np.empty(sc.size, dtype=bool)
+        newg[0] = True
+        np.not_equal(sc[1:], sc[:-1], out=newg[1:])
+        uq = sc[newg]
+        inv = np.empty(sc.size, dtype=np.int64)
+        inv[order] = np.cumsum(newg) - 1
         read_all = np.asarray(lookup_read(uq), dtype=np.uint64)[inv] * mult
         asm_all = np.asarray(lookup_asm(uq), dtype=np.uint64)[inv] * mult
     else:
