@@ -63,11 +63,12 @@ def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
         cp_lo.wait()
         cp_v.wait()
 
-        def shift_body(sh, acc):
-            # query lane l rides at lane (l + sh): lane j now compares
-            # q[j - sh] against window entries at lane j
-            qh_r = pltpu.roll(q_hi, sh, axis=1)
-            ql_r = pltpu.roll(q_lo, sh, axis=1)
+        def shift_body(_, carry):
+            # rolled-frame carry: q AND acc ride the same lane frame, so
+            # contributions add directly (no per-shift roll-back) and
+            # every roll is a STATIC shift-by-1 (cheap lane rotate).
+            # After LANES iterations the frame returns to identity.
+            qh_r, ql_r, acc = carry
             contrib = jnp.zeros((QBS, LANES), dtype=jnp.int32)
             for c in range(SEG_ROWS):        # static unroll
                 wh = w_hi[c: c + 1, :]       # (1, LANES)
@@ -76,12 +77,16 @@ def _kernel(win_row_ref, win_seg_ref, q_hi_ref, q_lo_ref,
                 eq = (qh_r == wh) & (ql_r == wl)
                 contrib = contrib + jnp.where(eq, wv.astype(jnp.int32),
                                               jnp.int32(0))
-            # contrib lane j belongs to query lane (j - sh): roll back
-            back = jax.lax.rem(jnp.int32(LANES) - sh, jnp.int32(LANES))
-            return acc + pltpu.roll(contrib, back, axis=1)
+            one = jnp.int32(1)   # x64 would promote a bare 1 to i64,
+            # which tpu.dynamic_rotate rejects
+            return (pltpu.roll(qh_r, one, axis=1),
+                    pltpu.roll(ql_r, one, axis=1),
+                    pltpu.roll(acc + contrib, one, axis=1))
 
-        return jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(LANES), shift_body, acc)
+        _, _, acc = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(LANES), shift_body,
+            (q_hi, q_lo, acc))
+        return acc
 
     acc = jax.lax.fori_loop(
         jnp.int32(0), n_seg, seg_body,
