@@ -236,13 +236,16 @@ class KstarEngine:
         self.k = k
         self.peak = float(peak)
         self.chunk = chunk
-        # Default batch: the sorted-join path amortizes its table-stream
-        # cost over the dispatch's query count (bigger is faster: 2.0 ->
-        # 7.0 Mbases/s measured going 4 -> 16 at an 8.4M-key table); the
-        # gather path materializes [windows, R] take temporaries, so its
-        # batch stays small (16 OOMs a 16 GB HBM).
+        # Default batch: round-3 e2e sweep on a v5e (2^25-base input,
+        # 8.4M-key table, docs/PERF.md "Round 3"): batch 2 routes the
+        # ratio rule to the v4 kernel and pipelines best — 9.6M bases/s
+        # vs 7.4M at the old batch-16/v1 config, whose [g, QB, 1]
+        # query-column layout pads 128x and forces XLA remat at batch 16
+        # (and OOMs outright at 32).  The gather path materializes
+        # [windows, R] take temporaries, so its batch stays small
+        # (16 OOMs a 16 GB HBM).
         if batch is None:
-            batch = 16 if sortjoin else 4
+            batch = 2 if sortjoin else 4
         self.batch = batch
         from merfin_tpu.score.bin_table import BinTable
 
