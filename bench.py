@@ -66,12 +66,34 @@ def _bench_hist(keys, read_vals, asm_vals, k):
                          DeviceLookup(keys, asm_vals, k),
                          k, peak=12.0, chunk=1 << 19, sortjoin=sortjoin)
     rng = np.random.default_rng(3)
-    n_bases = 1 << 23
+    # 4 pipelined dispatches (batch 16 x chunk 2^19 windows each): the
+    # rate reflects steady-state throughput with transfer/compute
+    # overlap, not a single dispatch's tunnel round trip
+    n_bases = 1 << 25
     codes = rng.integers(0, 4, size=n_bases).astype(np.uint8)
     engine.hist_sequence(codes[: (1 << 21) + k])   # warmup/compile
     t0 = time.perf_counter()
     engine.hist_sequence(codes)
     return n_bases / (time.perf_counter() - t0)
+
+
+def _bench_completeness(keys, read_vals, asm_vals, k):
+    """-completeness rate (read-DB k-mers/s): 64 batched slice joins of
+    the read stream against the device-resident assembly table
+    (merfin-completeness.C:49-143 as lookups, SURVEY §7.4)."""
+    import io
+
+    from merfin_tpu.io.mkdb import KmerDB
+    from merfin_tpu.modes.completeness import run_completeness
+
+    with tempfile.TemporaryDirectory() as td:
+        rdb = KmerDB.create(os.path.join(td, "r"), k, keys, read_vals)
+        adb = KmerDB.create(os.path.join(td, "a"), k, keys, asm_vals)
+        run_completeness(rdb, adb, peak=12.0, log=io.StringIO())  # warm
+        t0 = time.perf_counter()
+        run_completeness(rdb, adb, peak=12.0, log=io.StringIO())
+        dt = time.perf_counter() - t0
+    return keys.size / dt
 
 
 def _bench_count(k=21, n_bases=1 << 23):
@@ -164,11 +186,11 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
 
 
 def _bench_variants_heavy(k=21, n_clusters=4, n_vars=15, spacing=8):
-    """Heavy variant evaluation: clusters of 15 variants (SNPs, a
-    multiallelic site, insertions) merged into ONE cluster each
-    (spacing < 2k), enumerating 2^15 = 32768 candidate paths per
-    cluster (~5M k-mer windows each) — the reference's worst case
-    before the -comb split (merfin-globals.H:241,
+    """Heavy variant evaluation: clusters of 15 variants (SNPs,
+    multiallelic sites, insertions) merged into ONE cluster each
+    (spacing < 2k), enumerating 2^11 x 3^4 = 165,888 candidate paths
+    per cluster (~24M k-mer windows each) — past the reference's worst
+    case before the -comb split (merfin-globals.H:241,
     merfin-variants.C:213-217).
 
     Measures -polish clusters/s through run_variants twice on the same
@@ -317,6 +339,8 @@ def main() -> None:
         extra["variant_heavy_dev_vs_host"] = round(hv_dev / hv_host, 2)
         extra["variant_heavy_outputs_identical"] = hv_ident
         extra["count_bases_per_sec"] = round(_bench_count())
+        extra["completeness_kmers_per_sec"] = round(
+            _bench_completeness(keys, vals, asm_vals, k))
 
     best = max(rates["v1"], rates["v4"])
     print(json.dumps({
