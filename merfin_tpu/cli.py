@@ -343,12 +343,10 @@ def run(cfg: MerfinConfig) -> int:
     # stripe; accumulators merge over collectives; rank 0 writes outputs.
     from merfin_tpu.parallel import multihost as mh
 
+    # Multi-host runs support the full flag set: -debug writes per-rank
+    # gz files (the reference's per-thread debug split) and -resume
+    # keeps per-rank checkpoints (modes/variants.py, utils/checkpoint.py).
     multi = mh.maybe_init_from_env(log=log)
-    if multi:
-        if cfg.debug:
-            print("ERROR: -debug is not supported with multi-host runs.",
-                  file=log)
-            return 1
 
     prob = load_prob_table(cfg.prob_table) if cfg.prob_table else None
 

@@ -140,13 +140,16 @@ def _select_task(args):
 class DebugWriter:
     """Per-path debug log (merfin-variants.C:240-276).
 
-    The reference writes one gz per worker thread; the batched engine is a
-    single logical writer, so everything lands in `<out>.00.debug.gz`
-    with globally sequential varMerIds.
+    The reference writes one gz per worker thread with thread-local
+    sequential varMerIds; here the analog writer unit is the process:
+    single-host runs land everything in `<out>.00.debug.gz`, multi-host
+    striped runs write `<out>.<RANK>.debug.gz` per rank (each covering
+    that rank's sequence stripe, rank-local sequential ids — exactly the
+    reference's per-thread split).
     """
 
-    def __init__(self, out_name: str):
-        self.file = open_write_text(f"{out_name}.00.debug.gz")
+    def __init__(self, out_name: str, writer_id: int = 0):
+        self.file = open_write_text(f"{out_name}.{writer_id:02d}.debug.gz")
         self.var_mer_id = 0
 
     def emit(self, ident: str, r_start: int, r_end: int, pos_gt: PosGT,
@@ -227,7 +230,6 @@ def run_variants(
     suffix = "polish" if mode == "polish" else "filter"
     out_path = f"{out_name}.{suffix}.vcf"
     out = None  # lazily opened, like outputVariants (merfin-variants.C:321)
-    dbg = DebugWriter(out_name) if debug else None
 
     # Multi-host, two shapes:
     #  * striped — sequence stripes -> per-process part files (no
@@ -243,7 +245,16 @@ def run_variants(
     pid, pcount = 0, 1
     if multi:
         pid, pcount = mh.process_info()
-        assert not debug, "-debug is not supported with multi-host runs"
+
+    # Debug writers follow the reference's per-thread split (one gz per
+    # writer unit, local sequential ids): per rank for striped runs; in
+    # spans mode every rank evaluates identically, so only rank 0 writes.
+    if debug and multi and spans and pid != 0:
+        dbg = None
+    elif debug:
+        dbg = DebugWriter(out_name, pid if (multi and not spans) else 0)
+    else:
+        dbg = None
 
     # Checkpoint/resume at the sequence boundary (not combinable with
     # -debug: the per-thread debug gz stream is not offset-restartable).

@@ -274,6 +274,58 @@ def test_spans_dump_kill_and_restart(world):
     assert not list(tmp.glob("*.ckpt.json*"))
 
 
+DEBUG_DRIVER = """
+import sys
+from merfin_tpu.cli import merfin_main
+
+tmp, tag = sys.argv[1], sys.argv[2]
+assert merfin_main(["-polish", "-debug",
+                    "-sequence", f"{tmp}/asm.fasta",
+                    "-readmers", f"{tmp}/read.mkdb",
+                    "-seqmers", f"{tmp}/asm.mkdb", "-peak", "20",
+                    "-vcf", f"{tmp}/calls.vcf",
+                    "-output", f"{tmp}/{tag}.pol"]) == 0
+print("ALLDONE")
+"""
+
+
+def _debug_rows(path):
+    """Debug gz rows with the (writer-local sequential) varMerId column
+    stripped — the reference's per-thread ids are thread-local too."""
+    import gzip
+
+    with gzip.open(path, "rt") as f:
+        return sorted(l.split("\t", 1)[1] for l in f if l.strip())
+
+
+def test_striped_debug_writes_per_rank_gz(world):
+    """-debug under a striped 2-process run writes one gz per rank (the
+    reference's per-thread debug split, merfin-variants.C:146-151); the
+    union of rows equals the single-process debug log."""
+    tmp = world
+    p = _run_driver_src(tmp, "dbg1", DEBUG_DRIVER, {})
+    out, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()[-3000:]
+    single = _debug_rows(tmp / "dbg1.pol.00.debug.gz")
+    assert single
+
+    port = _free_port()
+    procs = [_run_driver_src(tmp, "dbg2", DEBUG_DRIVER, {
+        "MERFIN_NUM_PROCESSES": "2",
+        "MERFIN_PROCESS_ID": str(i),
+        "MERFIN_COORDINATOR": f"127.0.0.1:{port}",
+    }) for i in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+    rows = sorted(_debug_rows(tmp / "dbg2.pol.00.debug.gz")
+                  + _debug_rows(tmp / "dbg2.pol.01.debug.gz"))
+    assert rows == single
+    # the polish output itself still matches the single-process run
+    assert (tmp / "dbg1.pol.polish.vcf").read_bytes() == \
+        (tmp / "dbg2.pol.polish.vcf").read_bytes()
+
+
 COUNT_DRIVER = """
 import sys
 from merfin_tpu.cli import db_tool_main
