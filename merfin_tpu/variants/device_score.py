@@ -198,11 +198,20 @@ class _FusedScorer:
 
 
 class DeviceScorer(_FusedScorer):
-    """Scores packed candidate-path streams in one device dispatch."""
+    """Scores packed candidate-path streams in one device dispatch.
+
+    ``sortjoin`` (auto: on for accelerator backends) replaces the two
+    gather-strategy table probes (~9.5M lookups/s, issue-rate-bound on
+    XLA's gather — docs/PERF.md) with the gather-free Pallas sorted-join
+    kernels (25-50M/s): sort (canon, window-index) pairs, join both
+    tables on the sorted stream, then restore positional order with a
+    second sort keyed on the carried index.  Values are exact either
+    way, so every selector output is unchanged; it also lifts the span
+    cap 2x (no [windows, R] take temporaries to blow HBM)."""
 
     def __init__(self, read_lookup, asm_lookup, k: int, peak: float,
                  prob_table: ProbTable | None, max_value: int | None = None,
-                 exact_max: bool = False):
+                 exact_max: bool = False, sortjoin: bool | None = None):
         ensure_x64()
         import jax
 
@@ -212,6 +221,29 @@ class DeviceScorer(_FusedScorer):
         self.value_map = ValueMap(peak, prob_table, max_value or (1 << 19),
                                   exact_max=exact_max)
         self.overflow_values = 0
+        if sortjoin is None:
+            sortjoin = jax.default_backend() != "cpu"
+        self.sortjoin = bool(sortjoin)
+        if self.sortjoin:
+            from merfin_tpu.modes.engine import _JnpSortJoin
+            from merfin_tpu.ops.join_kernel import SortJoinTable
+            from merfin_tpu.ops.join_kernel4 import SortJoinTableV4
+
+            self.MAX_WINDOWS = 1 << 22
+
+            def make(lookup):
+                keys, vals = lookup.keys_np, lookup.vals_np
+                if jax.default_backend() == "cpu":
+                    return _JnpSortJoin(keys, vals)
+                # same ratio rule as KstarEngine: v1's cost is
+                # QB x window span (wins when table/queries is small),
+                # v4's fence narrowing is flat in table size
+                ratio = lookup.n / self.MAX_WINDOWS
+                cls = SortJoinTable if ratio <= 2 else SortJoinTableV4
+                return cls(keys, vals, k)
+
+            self._sj_read = make(read_lookup)
+            self._sj_asm = make(asm_lookup)
         self._impl = jax.jit(self._score_stream, static_argnums=0)
 
     def _score_stream(self, n, r_tree, a_tree, vm, planes, vbits,
@@ -226,6 +258,9 @@ class DeviceScorer(_FusedScorer):
         is ~16x fewer input bytes than u8 codes + i64 path_start, and
         the per-path reduction ships ~windows/paths x fewer bytes back.
         """
+        import jax
+        import jax.numpy as jnp
+
         from merfin_tpu.ops.kmer_ops import unpack_transfer
 
         codes = unpack_transfer(planes, vbits, n + self.k - 1)
@@ -233,10 +268,25 @@ class DeviceScorer(_FusedScorer):
                                                self.value_map.has_prob)
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
-        read_v = self.read_lookup.lookup_with(
-            r_tree, canon).astype(np.uint64) * mult
-        asm_v = self.asm_lookup.lookup_with(
-            a_tree, canon).astype(np.uint64) * mult
+        if self.sortjoin:
+            # sort -> gather-free join -> unsort by the carried index;
+            # invalid windows become u64::MAX sentinels (join misses ->
+            # value 0, matching the reference's missing semantics)
+            canon_q = jnp.where(valid, canon,
+                                jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            idx = jnp.arange(canon.shape[0], dtype=jnp.int32)
+            qs, idx_s = jax.lax.sort((canon_q, idx), num_keys=1)
+            read_s = self._sj_read.lookup_sorted_with(r_tree, qs)
+            asm_s = self._sj_asm.lookup_sorted_with(a_tree, qs)
+            _, read_u, asm_u = jax.lax.sort((idx_s, read_s, asm_s),
+                                            num_keys=1)
+            read_v = read_u.astype(np.uint64) * mult
+            asm_v = asm_u.astype(np.uint64) * mult
+        else:
+            read_v = self.read_lookup.lookup_with(
+                r_tree, canon).astype(np.uint64) * mult
+            asm_v = self.asm_lookup.lookup_with(
+                a_tree, canon).astype(np.uint64) * mult
         missing, dkstr, overflow = _stream_math(
             self.value_map, vm, read_v, asm_v, valid, adjust, path_start)
         num_m, totdk = _boundary_reduce(missing, dkstr, b_start, b_end)
@@ -244,8 +294,12 @@ class DeviceScorer(_FusedScorer):
 
     def _dispatch(self, p, planes, vbits, adj_bits, mark_bits,
                   b_start, b_end):
+        if self.sortjoin:
+            trees = (self._sj_read.tree(), self._sj_asm.tree())
+        else:
+            trees = (self.read_lookup.tree(), self.asm_lookup.tree())
         return self._impl(
-            p, self.read_lookup.tree(), self.asm_lookup.tree(),
+            p, *trees,
             self.value_map.device_arrays(), planes, vbits,
             adj_bits, mark_bits, b_start, b_end)
 
