@@ -115,12 +115,33 @@ def _flat_planes(all_paths: list[VarPath], starts: np.ndarray, n_win: int,
             lo_ev.append(lo[ok])
             hi_ev.append(hi[ok])
         i = j
-    if lo_ev:
-        lo_all = np.concatenate(lo_ev)
+    lo_all = np.concatenate(lo_ev) if lo_ev else np.zeros(0, np.int64)
+    if lo_all.size:
         hi_all = np.concatenate(hi_ev)
-        delta = (np.bincount(lo_all, minlength=n_win + 1)
-                 - np.bincount(hi_all, minlength=n_win + 1))
-        adjust = np.cumsum(delta[:n_win]) > 0
+        # Interval union -> bool plane via merged runs + an int8
+        # difference array.  The obvious bincount(int64, minlength=n_win)
+        # x2 + int64 cumsum allocates ~5x 8B/window of fresh pages and is
+        # page-fault-bound (~2.5 s per 30M-window comb=15 cluster); the
+        # merged-run form writes one int8 plane instead (~0.3 s).
+        if np.any(lo_all[1:] < lo_all[:-1]):
+            order = np.argsort(lo_all, kind="stable")
+            lo_all = lo_all[order]
+            hi_all = hi_all[order]
+        run_hi = np.maximum.accumulate(hi_all)
+        new = np.empty(lo_all.size, bool)
+        new[0] = True
+        np.greater(lo_all[1:], run_hi[:-1], out=new[1:])
+        run_lo = lo_all[new]
+        idx_new = np.flatnonzero(new)
+        run_end = np.empty(run_lo.size, np.int64)
+        run_end[:-1] = run_hi[idx_new[1:] - 1]
+        run_end[-1] = run_hi[-1]
+        # merged runs are disjoint and non-empty (lo < hi), so run_lo and
+        # run_end index distinct cells: plain assignment, no ufunc.at
+        d8 = np.zeros(n_win + 1, np.int8)
+        d8[run_lo] = 1
+        d8[run_end] -= 1
+        adjust = np.cumsum(d8[:n_win], dtype=np.int8) > 0
     else:
         adjust = np.zeros(n_win, bool)
     return adjust, path_start
