@@ -28,7 +28,8 @@ from merfin_tpu.io.fasta import SeqFile, Sequence
 from merfin_tpu.io.vcf import VcfFile, PosGT
 from merfin_tpu.score.kstar import ProbTable
 from merfin_tpu.variants.enumerate import enumerate_paths, VarPath
-from merfin_tpu.variants.score import score_path_groups, PathScore
+from merfin_tpu.variants.score import (score_path_groups, PathScore,
+                                       build_path_block, score_blocks)
 from merfin_tpu.variants import select
 
 _U32 = 1 << 32
@@ -111,6 +112,32 @@ def _enumerate_task(args):
         return None
     template, ref_idx, ref_len, haps = args
     return enumerate_paths(template, ref_idx, ref_len, haps)
+
+
+def _enumerate_block_task(args):
+    """Worker task for the fused-scorer path: enumerate + pack into an
+    array-native PathBlock inside the worker, so the stream encode and
+    adjust-plane build parallelize across clusters and the result
+    pickles as numpy buffers instead of per-path objects."""
+    if args is None:
+        return None
+    enum_args, k = args
+    return build_path_block(_enumerate_task(enum_args), k)
+
+
+def _select_block_task(args):
+    """Array-native twin of _select_task over a PathBlock + its device-
+    reduced (num_m, totdk) arrays."""
+    import io as _io
+
+    mode, block, scores, pos_gt, k = args
+    nm, td = scores
+    warn = _io.StringIO()
+    res = select.select_block(mode, nm, td, block.lens, block.gtp,
+                              pos_gt, k, log=warn)
+    if isinstance(res, list):     # filter mode returns records
+        res = "".join(r.save() for r in res)
+    return res, warn.getvalue()
 
 
 def _select_task(args):
@@ -336,42 +363,55 @@ def run_variants(
         # enumerate REF/ALT paths — CPU-bound, fans out over the pool.
         # Only combinatorially heavy clusters go to workers: for small
         # ones the pickle round-trip costs more than the enumeration.
+        # With a fused device scorer, workers return array-native
+        # PathBlocks (variants/score.py) instead of VarPath lists: a
+        # comb=15 cluster crosses the process boundary as five numpy
+        # buffers, not 165k dataclasses, and selection reads the arrays
+        # directly (select.select_block).
+        use_blocks = scorer is not None
         enum_args = [p[3] if p is not None else None for p in prepared]
+        task_fn = _enumerate_block_task if use_blocks else _enumerate_task
+        task_args = [(a, k) if a is not None and use_blocks else a
+                     for a in enum_args]
         paths_list = [None] * len(enum_args)
         heavy = [i for i, a in enumerate(enum_args)
                  if a is not None and _est_paths(a[3]) >= _POOL_MIN_PATHS] \
             if threads and threads > 1 else []
         if heavy:
             heavy_set = set(heavy)
-            async_res = get_pool().map_async(_enumerate_task,
-                                             [enum_args[i] for i in heavy])
-            for i, a in enumerate(enum_args):
+            async_res = get_pool().map_async(task_fn,
+                                             [task_args[i] for i in heavy])
+            for i, a in enumerate(task_args):
                 if i not in heavy_set:
-                    paths_list[i] = _enumerate_task(a)
+                    paths_list[i] = task_fn(a)
             for i, r in zip(heavy, async_res.get()):
                 paths_list[i] = r
         else:
-            paths_list = [_enumerate_task(a) for a in enum_args]
+            paths_list = [task_fn(a) for a in task_args]
 
         # score in budgeted batches (device lookups, parent process)
-        all_scores: list[list[PathScore] | None] = [None] * len(prepared)
+        all_scores: list = [None] * len(prepared)
         i = 0
         while i < len(prepared):
             j = i
             budget = 0
-            groups: list[list[VarPath]] = []
+            groups: list = []
             while j < len(prepared) and (budget == 0 or budget < query_budget):
-                paths = paths_list[j]
-                if paths is not None:
-                    budget += sum(max(0, len(p.seq) - k + 1) for p in paths)
-                    groups.append(paths)
+                pb = paths_list[j]
+                if pb is not None:
+                    budget += int(pb.nis.sum()) if use_blocks else \
+                        sum(max(0, len(p.seq) - k + 1) for p in pb)
+                    groups.append(pb)
                 else:
-                    groups.append([])
+                    groups.append(None if use_blocks else [])
                 j += 1
-            all_scores[i:j] = score_path_groups(
-                groups, k, lookup_read, lookup_asm, peak, prob_table,
-                filter_mode, threads=max(1, threads), scorer=scorer
-            )
+            if use_blocks:
+                all_scores[i:j] = score_blocks(groups, scorer, k)
+            else:
+                all_scores[i:j] = score_path_groups(
+                    groups, k, lookup_read, lookup_asm, peak, prob_table,
+                    filter_mode, threads=max(1, threads), scorer=scorer
+                )
             i = j
 
         # per-cluster selection — runs serially in the parent: once the
@@ -380,9 +420,16 @@ def run_variants(
         # per-window score arrays to a worker costs orders of magnitude
         # more in pickling than the scan itself (measured: ~90 MB/cluster
         # at comb=15), so the pool fans out enumeration only.
-        tasks = [(mode, paths_list[idx], all_scores[idx], entry[0], k)
-                 for idx, entry in enumerate(prepared) if entry is not None]
-        selected = [_select_task(t) for t in tasks]
+        if use_blocks:
+            selected = [
+                _select_block_task((mode, paths_list[idx], all_scores[idx],
+                                    entry[0], k))
+                for idx, entry in enumerate(prepared) if entry is not None]
+        else:
+            tasks = [(mode, paths_list[idx], all_scores[idx], entry[0], k)
+                     for idx, entry in enumerate(prepared)
+                     if entry is not None]
+            selected = [_select_task(t) for t in tasks]
 
         result_parts: list[str] = []
         si = 0

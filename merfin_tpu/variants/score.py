@@ -64,8 +64,79 @@ def _pack_stream(all_paths: list[VarPath], k: int):
     return stream, starts
 
 
+@dataclasses.dataclass
+class PathBlock:
+    """Array-native candidate set of ONE cluster (fused-scorer path).
+
+    Replaces list[VarPath] everywhere downstream of enumeration when a
+    device scorer reduces per-path results on chip: a comb=15 cluster is
+    five arrays instead of 165k Python objects — built inside the worker
+    process, pickled as numpy buffers, selected from directly
+    (select.select_block)."""
+
+    stream: np.ndarray   # u8 codes; every path followed by k-1 separators
+    starts: np.ndarray   # int64 [P+1] path code/window offsets; [-1] = len
+    nis: np.ndarray      # int64 [P] k-mer windows per path
+    lens: np.ndarray     # int64 [P] sequence length per path
+    gtp: np.ndarray      # int16 [P, n_var] allele index per variant
+    adjust: np.ndarray   # bool [n_win] new-kmer asmK+1 plane
+
+
+def build_path_block(paths: list[VarPath], k: int) -> PathBlock:
+    """Pack one cluster's enumerated paths into a PathBlock."""
+    stream, starts = _pack_stream(paths, k)
+    n_win = max(0, stream.shape[0] - k + 1)
+    adjust, _ = _flat_planes(paths, starts, n_win, k, need_start=False)
+    P = len(paths)
+    lens = np.fromiter((len(p.seq) for p in paths), np.int64, count=P)
+    nis = np.maximum(0, lens - k + 1)
+    n_var = max((len(p.gt_path) for p in paths), default=0)
+    gtp = np.zeros((P, n_var), np.int16)
+    for i, p in enumerate(paths):     # gt_path is always n_var long; the
+        gtp[i, : len(p.gt_path)] = p.gt_path   # pad is belt-and-braces
+    return PathBlock(stream, starts, nis, lens, gtp, adjust)
+
+
+def score_blocks(blocks, scorer, k: int):
+    """Score many clusters' PathBlocks through ONE packed dispatch
+    stream; returns per-cluster (num_m int64 [P], totdk f64 [P]).
+
+    Streams concatenate exactly (every block already ends with k-1
+    separators); adjust planes land at each block's code offset — the
+    k-1 windows spanning a block boundary contain separator bases, are
+    invalid, and never consume their adjust value."""
+    live = [b for b in blocks if b is not None and b.nis.shape[0]]
+    out_empty = (np.zeros(0, np.int64), np.zeros(0))
+    if not live:
+        return [out_empty for _ in blocks]
+    total_len = int(sum(b.stream.shape[0] for b in live))
+    stream = np.concatenate([b.stream for b in live])
+    n_win = max(0, total_len - k + 1)
+    adjust = np.zeros(n_win, bool)
+    starts_parts = []
+    off = 0
+    for b in live:
+        bw = min(b.adjust.shape[0], n_win - off)
+        adjust[off: off + bw] = b.adjust[:bw]
+        starts_parts.append(b.starts[:-1] + off)
+        off += int(b.starts[-1])
+    starts = np.concatenate(starts_parts + [np.asarray([off], np.int64)])
+    nis = np.concatenate([b.nis for b in live])
+    num_m, totdk = scorer.score_paths(stream, adjust, starts, nis)
+    res = []
+    i = 0
+    for b in blocks:
+        if b is None or not b.nis.shape[0]:
+            res.append(out_empty)
+            continue
+        P = b.nis.shape[0]
+        res.append((num_m[i: i + P], totdk[i: i + P]))
+        i += P
+    return res
+
+
 def _flat_planes(all_paths: list[VarPath], starts: np.ndarray, n_win: int,
-                 k: int):
+                 k: int, need_start: bool = True):
     """(adjust bool [n_win], path_start int64 [n_win]) for the packed
     stream: adjust marks windows spanning an applied ALT (the new-kmer
     asmK+1 adjustment, varMer.C:103-112, incl. the uint32-underflow
@@ -73,13 +144,18 @@ def _flat_planes(all_paths: list[VarPath], starts: np.ndarray, n_win: int,
     forward-fill reset boundary)."""
     if n_win == 0:
         return np.zeros(0, bool), np.zeros(0, np.int64)
-    # per-window owning-path start: scatter each start then running max
-    # (np.repeat over 100k+ variable-width segments is several times
-    # slower at heavy-cluster scale)
-    path_start = np.zeros(n_win, dtype=np.int64)
-    own = starts[:-1][(starts[:-1] > 0) & (starts[:-1] < n_win)]
-    path_start[own] = own
-    np.maximum.accumulate(path_start, out=path_start)
+    if need_start:
+        # per-window owning-path start: scatter each start then running
+        # max (np.repeat over 100k+ variable-width segments is several
+        # times slower at heavy-cluster scale)
+        path_start = np.zeros(n_win, dtype=np.int64)
+        own = starts[:-1][(starts[:-1] > 0) & (starts[:-1] < n_win)]
+        path_start[own] = own
+        np.maximum.accumulate(path_start, out=path_start)
+    else:
+        # fused-scorer blocks derive path starts from the 1-bit marks on
+        # device (_planes_from_bits); skip the host scan
+        path_start = None
 
     # adjustment intervals -> one difference plane (vectorized per
     # cluster would need ragged [P, n_var] handling across clusters;

@@ -196,6 +196,123 @@ def loose_polish(paths, scores, pos_gt: PosGT, k: int, log=sys.stderr) -> str:
     return get_hom_record(pos_gt, paths[max_idx].gt_path)
 
 
+# ---- array-native selection (fused-scorer PathBlock path) ----
+#
+# Exact closed forms of the scalar scans above, derived from their
+# running-minimum structure so a 165k-path comb=15 cluster selects from
+# numpy arrays without materializing per-path objects.  Fuzz-tested
+# against the scalar versions (tests/test_selectors.py).
+
+def _allmiss_arr(nm: np.ndarray, lens: np.ndarray, k: int) -> np.ndarray:
+    """Vector form of _all_missing: numM == (size_t)(len - k + 1).
+    nm >= 0, so the size_t wrap (len < k - 1) can never compare equal."""
+    span = lens - k + 1
+    return (span >= 0) & (nm == span)
+
+
+def _min_missing_idxs_filterlike_arr(nm, lens, k) -> list[int]:
+    """Closed form of _min_missing_idxs_filterlike.
+
+    The scalar scan resets idxs only on a STRICT decrease, and the
+    numM==0 block sets num_missing to 0 *before* the < test, so zero
+    paths never reset — each zero path appends twice (both blocks fire)
+    and the achievers of the pre-zero running minimum survive in front.
+    """
+    ok_idx = np.flatnonzero(~_allmiss_arr(nm, lens, k))
+    if ok_idx.size == 0:
+        return []
+    vals = nm[ok_idx]
+    zeros = np.flatnonzero(vals == 0)
+    if zeros.size == 0:
+        m = vals.min()
+        return [int(x) for x in ok_idx[vals == m]]
+    idxs: list[int] = []
+    z0 = zeros[0]
+    if z0 > 0:
+        pre = vals[:z0]
+        v = pre.min()
+        idxs = [int(ok_idx[i]) for i in np.flatnonzero(pre == v)]
+    for z in zeros:
+        ii = int(ok_idx[z])
+        idxs += [ii, ii]
+    return idxs
+
+
+def _min_missing_idxs_vs_ref_arr(nm, include_neutral: bool) -> list[int]:
+    """Closed form of _min_missing_idxs_vs_ref: a strict decrease below
+    scores[0].num_m resets, equals-at-minimum append (gated by the
+    neutral rule); if nothing beats the REF path, only the neutral rule
+    can populate idxs."""
+    if nm.size == 0:
+        return []
+    ref = nm[0]
+    m = nm.min()
+    if m < ref:
+        return [int(x) for x in np.flatnonzero(nm == m)]
+    if include_neutral:
+        return [int(x) for x in np.flatnonzero(nm == ref)]
+    return []
+
+
+def select_block(mode: str, nm: np.ndarray, td: np.ndarray,
+                 lens: np.ndarray, gtp: np.ndarray, pos_gt: PosGT,
+                 k: int, log=sys.stderr):
+    """Per-cluster selection from score arrays (num_m, totdk) and the
+    block's (lens, gtp) — mirrors _select_task over PathScore lists.
+    gtp rows index pos_gt.gts exactly like VarPath.gt_path."""
+    if mode in ("polish", "filter"):
+        idxs = _min_missing_idxs_filterlike_arr(nm, lens, k)
+        if not idxs:
+            return "" if mode == "polish" else []
+        if mode == "filter":
+            gt_idxs = sorted({i for idx in idxs
+                              for i, g in enumerate(gtp[idx]) if g > 0})
+            return [pos_gt.gts[i].record for i in gt_idxs]
+        if len(idxs) == 1:
+            return get_hom_record(pos_gt, gtp[idxs[0]])
+        entries = [(float(td[idx]), idx) for idx in idxs]
+        order = sorted(range(len(entries)),
+                       key=lambda i: int(entries[i][0]), reverse=True)
+        avg_k1, idx1 = entries[order[0]]
+        avg_k2, idx2 = entries[order[1]]
+        if avg_k1 == avg_k2:
+            if lens[idx1] >= lens[idx2]:
+                return get_het_record(pos_gt, gtp[idx1], gtp[idx2])
+            return get_het_record(pos_gt, gtp[idx2], gtp[idx1])
+        return get_hom_record(pos_gt, gtp[idx1])
+
+    if mode in ("better", "strict"):
+        idxs = _min_missing_idxs_vs_ref_arr(nm, include_neutral=False)
+        if not idxs:
+            return ""
+        best = idxs[0]
+        for ii in idxs[1:]:
+            if lens[ii] > lens[best]:
+                best = ii
+        return get_hom_record(pos_gt, gtp[best])
+
+    assert mode == "loose"
+    idxs = _min_missing_idxs_vs_ref_arr(nm, include_neutral=True)
+    if not idxs:
+        return ""
+    if len(idxs) == 1:
+        return get_hom_record(pos_gt, gtp[idxs[0]])
+    if idxs[0] == 0 and len(idxs) == 2:
+        return get_hom_record(pos_gt, gtp[idxs[1]])
+    max_vars = 0
+    max_idx = idxs[0]
+    for ii in idxs[1:]:
+        count = int((gtp[ii] > 0).sum())
+        if count > max_vars:
+            max_vars = count
+            max_idx = ii
+    rec = pos_gt.gts[0].record.save()
+    print(f"[ WARNING ] :: Multiple ({len(idxs)}) alternate pathes detected in a "
+          f"path beginning with variant : {rec}", end="", file=log)
+    print(f"[ WARNING ] :: Max. {max_vars} ALT variants selected", file=log)
+    return get_hom_record(pos_gt, gtp[max_idx])
+
+
 # ---- debug statistics (varMer.C:553-659) ----
 
 def min_abs_k(score: PathScore) -> float:

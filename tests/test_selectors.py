@@ -146,3 +146,39 @@ def test_all_missing_paths_excluded_by_size_t_rule():
     s1 = PathScore(0, np.zeros(0), np.zeros(0))
     out = select.best_variant([p1], [s1], pg, K)
     assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t1/1\n"
+
+
+# ---- array-native closed forms vs the scalar scans (fuzz) ----
+
+def test_filterlike_arr_matches_scalar_fuzz():
+    """_min_missing_idxs_filterlike_arr reproduces the scalar scan's
+    exact idxs list (double-push, no-reset-on-zero, stale-survivor
+    quirks) on randomized num_m/length patterns."""
+    import random
+
+    rng = random.Random(123)
+    for trial in range(300):
+        P = rng.randint(1, 12)
+        nm = [rng.choice([0, 0, 1, 2, 3, 14]) for _ in range(P)]
+        lens = [rng.choice([3, 20, 25, 30]) for _ in range(P)]
+        paths = [VarPath("A" * L, [1], [0], [1]) for L in lens]
+        scores = [PathScore(m, np.zeros(0), np.zeros(0)) for m in nm]
+        want = select._min_missing_idxs_filterlike(paths, scores, K)
+        got = select._min_missing_idxs_filterlike_arr(
+            np.asarray(nm, np.int64), np.asarray(lens, np.int64), K)
+        assert got == want, (trial, nm, lens, got, want)
+
+
+def test_vs_ref_arr_matches_scalar_fuzz():
+    import random
+
+    rng = random.Random(321)
+    for trial in range(300):
+        P = rng.randint(1, 12)
+        nm = [rng.choice([0, 1, 2, 3, 7]) for _ in range(P)]
+        scores = [PathScore(m, np.zeros(0), np.zeros(0)) for m in nm]
+        for neutral in (False, True):
+            want = select._min_missing_idxs_vs_ref(scores, neutral)
+            got = select._min_missing_idxs_vs_ref_arr(
+                np.asarray(nm, np.int64), neutral)
+            assert got == want, (trial, nm, neutral, got, want)
