@@ -29,7 +29,8 @@ from merfin_tpu.io.vcf import VcfFile, PosGT
 from merfin_tpu.score.kstar import ProbTable
 from merfin_tpu.variants.enumerate import enumerate_paths, VarPath
 from merfin_tpu.variants.score import (score_path_groups, PathScore,
-                                       build_path_block, score_blocks)
+                                       build_path_block, dispatch_blocks,
+                                       fetch_blocks)
 from merfin_tpu.variants import select
 
 _U32 = 1 << 32
@@ -377,42 +378,74 @@ def run_variants(
         heavy = [i for i, a in enumerate(enum_args)
                  if a is not None and _est_paths(a[3]) >= _POOL_MIN_PATHS] \
             if threads and threads > 1 else []
-        if heavy:
-            heavy_set = set(heavy)
-            async_res = get_pool().map_async(task_fn,
-                                             [task_args[i] for i in heavy])
-            for i, a in enumerate(task_args):
-                if i not in heavy_set:
-                    paths_list[i] = task_fn(a)
-            for i, r in zip(heavy, async_res.get()):
-                paths_list[i] = r
-        else:
-            paths_list = [task_fn(a) for a in task_args]
-
-        # score in budgeted batches (device lookups, parent process)
+        heavy_set = set(heavy)
         all_scores: list = [None] * len(prepared)
-        i = 0
-        while i < len(prepared):
-            j = i
-            budget = 0
-            groups: list = []
-            while j < len(prepared) and (budget == 0 or budget < query_budget):
-                pb = paths_list[j]
-                if pb is not None:
-                    budget += int(pb.nis.sum()) if use_blocks else \
-                        sum(max(0, len(p.seq) - k + 1) for p in pb)
-                    groups.append(pb)
-                else:
-                    groups.append(None if use_blocks else [])
-                j += 1
-            if use_blocks:
-                all_scores[i:j] = score_blocks(groups, scorer, k)
+
+        if use_blocks:
+            # Pipelined: heavy blocks stream (in order) from the pool;
+            # each budgeted batch DISPATCHES as soon as its blocks
+            # exist, so device compute overlaps the workers building the
+            # next clusters.  Fetches trail by up to _MAX_INFLIGHT
+            # batches to bound in-flight input buffers.
+            heavy_iter = iter(get_pool().imap(
+                task_fn, [task_args[i] for i in heavy])) if heavy else None
+            pending: list[tuple[int, int, tuple]] = []
+            _MAX_INFLIGHT = 8
+
+            i = 0
+            while i < len(prepared):
+                j = i
+                budget = 0
+                batch: list = []
+                while j < len(prepared) and (budget == 0
+                                             or budget < query_budget):
+                    paths_list[j] = (next(heavy_iter) if j in heavy_set
+                                     else task_fn(task_args[j]))
+                    b = paths_list[j]
+                    if b is not None:
+                        budget += int(b.nis.sum())
+                    batch.append(b)
+                    j += 1
+                pending.append((i, j, dispatch_blocks(batch, scorer, k)))
+                if len(pending) > _MAX_INFLIGHT:
+                    a, bb, tok = pending.pop(0)
+                    all_scores[a:bb] = fetch_blocks(tok, scorer)
+                i = j
+            for a, bb, tok in pending:
+                all_scores[a:bb] = fetch_blocks(tok, scorer)
+        else:
+            if heavy:
+                async_res = get_pool().map_async(
+                    task_fn, [task_args[i] for i in heavy])
+                for i, a in enumerate(task_args):
+                    if i not in heavy_set:
+                        paths_list[i] = task_fn(a)
+                for i, r in zip(heavy, async_res.get()):
+                    paths_list[i] = r
             else:
+                paths_list = [task_fn(a) for a in task_args]
+
+            # score in budgeted batches (device lookups, parent process)
+            i = 0
+            while i < len(prepared):
+                j = i
+                budget = 0
+                groups: list = []
+                while j < len(prepared) and (budget == 0
+                                             or budget < query_budget):
+                    pb = paths_list[j]
+                    if pb is not None:
+                        budget += sum(max(0, len(p.seq) - k + 1)
+                                      for p in pb)
+                        groups.append(pb)
+                    else:
+                        groups.append([])
+                    j += 1
                 all_scores[i:j] = score_path_groups(
                     groups, k, lookup_read, lookup_asm, peak, prob_table,
                     filter_mode, threads=max(1, threads), scorer=scorer
                 )
-            i = j
+                i = j
 
         # per-cluster selection — runs serially in the parent: once the
         # scores exist, selection is an integer scan over num_m plus

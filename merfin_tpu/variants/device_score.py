@@ -169,15 +169,16 @@ class _FusedScorer:
         return (np.asarray(num_m)[:P].astype(np.int64),
                 np.asarray(totdk)[:P])
 
-    def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
-                    starts: np.ndarray, nis: np.ndarray):
-        """Numpy-in/numpy-out: (num_m int64 [P], totdk f64 [P]).
-        All spans dispatch before the first fetch, so span i+1's
-        transfer + compute overlaps span i's result round trip."""
+    def dispatch_paths(self, codes: np.ndarray, adjust: np.ndarray,
+                       starts: np.ndarray, nis: np.ndarray):
+        """ASYNC half of score_paths: pack + dispatch every span, return
+        an opaque token for fetch_paths.  Lets callers keep whole
+        batches in flight while the host prepares the next one
+        (score.dispatch_blocks / modes.variants pipelining)."""
         P = nis.shape[0]
         n = max(0, codes.shape[0] - self.k + 1)
         if n == 0 or P == 0:
-            return np.zeros(P, np.int64), np.zeros(P)
+            return (P, [])
         handles = []
         i = 0
         while i < P:
@@ -188,13 +189,26 @@ class _FusedScorer:
             handles.append((i, j, self._span_dispatch(
                 codes[a:b], adjust[a:b], starts[i: j + 1] - a, nis[i:j])))
             i = j
-        num_m = np.empty(P, np.int64)
-        totdk = np.empty(P)
+        return (P, handles)
+
+    def fetch_paths(self, token):
+        """Blocking half: (num_m int64 [P], totdk f64 [P])."""
+        P, handles = token
+        num_m = np.zeros(P, np.int64)
+        totdk = np.zeros(P)
         for i, j, h in handles:
             nm, td = self._span_fetch(h)
             num_m[i:j] = nm
             totdk[i:j] = td
         return num_m, totdk
+
+    def score_paths(self, codes: np.ndarray, adjust: np.ndarray,
+                    starts: np.ndarray, nis: np.ndarray):
+        """Numpy-in/numpy-out: (num_m int64 [P], totdk f64 [P]).
+        All spans dispatch before the first fetch, so span i+1's
+        transfer + compute overlaps span i's result round trip."""
+        return self.fetch_paths(self.dispatch_paths(codes, adjust,
+                                                    starts, nis))
 
 
 class DeviceScorer(_FusedScorer):

@@ -97,18 +97,17 @@ def build_path_block(paths: list[VarPath], k: int) -> PathBlock:
     return PathBlock(stream, starts, nis, lens, gtp, adjust)
 
 
-def score_blocks(blocks, scorer, k: int):
-    """Score many clusters' PathBlocks through ONE packed dispatch
-    stream; returns per-cluster (num_m int64 [P], totdk f64 [P]).
+def dispatch_blocks(blocks, scorer, k: int):
+    """ASYNC-dispatch many clusters' PathBlocks as ONE packed stream;
+    returns a token for fetch_blocks.
 
     Streams concatenate exactly (every block already ends with k-1
     separators); adjust planes land at each block's code offset — the
     k-1 windows spanning a block boundary contain separator bases, are
     invalid, and never consume their adjust value."""
     live = [b for b in blocks if b is not None and b.nis.shape[0]]
-    out_empty = (np.zeros(0, np.int64), np.zeros(0))
     if not live:
-        return [out_empty for _ in blocks]
+        return (blocks, None)
     total_len = int(sum(b.stream.shape[0] for b in live))
     stream = np.concatenate([b.stream for b in live])
     n_win = max(0, total_len - k + 1)
@@ -122,7 +121,16 @@ def score_blocks(blocks, scorer, k: int):
         off += int(b.starts[-1])
     starts = np.concatenate(starts_parts + [np.asarray([off], np.int64)])
     nis = np.concatenate([b.nis for b in live])
-    num_m, totdk = scorer.score_paths(stream, adjust, starts, nis)
+    return (blocks, scorer.dispatch_paths(stream, adjust, starts, nis))
+
+
+def fetch_blocks(token, scorer):
+    """Blocking half: per-cluster (num_m int64 [P], totdk f64 [P])."""
+    blocks, paths_token = token
+    out_empty = (np.zeros(0, np.int64), np.zeros(0))
+    if paths_token is None:
+        return [out_empty for _ in blocks]
+    num_m, totdk = scorer.fetch_paths(paths_token)
     res = []
     i = 0
     for b in blocks:
@@ -133,6 +141,11 @@ def score_blocks(blocks, scorer, k: int):
         res.append((num_m[i: i + P], totdk[i: i + P]))
         i += P
     return res
+
+
+def score_blocks(blocks, scorer, k: int):
+    """Synchronous wrapper: dispatch + fetch one batch of PathBlocks."""
+    return fetch_blocks(dispatch_blocks(blocks, scorer, k), scorer)
 
 
 def _flat_planes(all_paths: list[VarPath], starts: np.ndarray, n_win: int,
