@@ -2,25 +2,56 @@
 
 The reference streams both DBs 64 ways and merge-joins sorted k-mer
 streams per slice under OpenMP (merfin-completeness.C:49-143).  On TPU
-the merge-join becomes a batched array join: for every read-DB slice, a
-vectorized searchsorted of its keys into the assembly slice yields the
-assembly value (0 when absent); asm-only k-mers are skipped exactly as in
-the reference (merfin-completeness.C:100-109).  Per-slice partial sums
-reduce to COMPLETENESS = 1 - undrc/total.
+the merge-join becomes a sorted-join: MKDB read slices are ALREADY
+globally sorted on disk (io/mkdb.py), so the read stream needs no device
+sort at all — blocks of (key, value) rows stream straight through the
+gather-free Pallas sorted-join kernels (ops/join_kernel*.py) against the
+device-resident assembly table; asm-only k-mers are skipped exactly as
+in the reference (merfin-completeness.C:100-109).
 
-Accumulation is float64 per slice, matching the reference's per-thread
-doubles; slice order of the final reduction is fixed (0..63).
+Per-slice accounting ("thread ii" lines) costs no extra dispatches: a
+block's contributions split at the 64 prefix boundaries with one f64
+cumsum + a 65-entry searchsorted, so blocks are occupancy-sized (pow2,
+query-block multiple) independent of slice geometry.  Dispatches stay
+in flight (bounded deque) — the host never syncs per block.
+
+Accumulation is float64 per slice; readK/asmK are integer-valued
+(score/value_map.py), so the cumsum prefix differences and host adds
+are exact and the output is bit-identical to per-slice direct sums.
 """
 
 from __future__ import annotations
 
 import sys
+from collections import deque
 
 import numpy as np
 
 from merfin_tpu.config import ensure_x64
 from merfin_tpu.io.mkdb import KmerDB, SLICES
 from merfin_tpu.score.kstar import ProbTable
+
+_MAX_INFLIGHT = 8
+
+
+def build_asm_table(asm_db: KmerDB, k: int, block: int):
+    """The device-resident sorted-join table over the FULL assembly DB
+    (slices are contiguous, so the concatenation is globally sorted)."""
+    from merfin_tpu.ops.sortjoin import build_sortjoin_table
+
+    keys = np.ascontiguousarray(asm_db.keys, dtype=np.uint64)
+    vals = np.ascontiguousarray(asm_db.vals, dtype=np.uint32)
+    # the read stream covers the whole key space: v4's flat-scaling
+    # fence narrowing wins over v1's window streaming here (measured
+    # r4, docs/PERF.md)
+    return build_sortjoin_table(keys, vals, k, block, prefer="v4")
+
+
+def _slice_bounds(k: int) -> np.ndarray:
+    """The 65 prefix-boundary keys: slice i holds bounds[i] <= key <
+    bounds[i+1] (io/mkdb.py's top-6-bit partition)."""
+    shift = max(0, 2 * k - 6)
+    return (np.arange(SLICES + 1, dtype=np.uint64) << np.uint64(shift))
 
 
 def run_completeness(
@@ -31,11 +62,13 @@ def run_completeness(
     log=sys.stderr,
     block: int = 1 << 22,
     mesh=None,
+    asm_table=None,
 ):
     """-completeness driver; with ``mesh`` the assembly table shards over
     the "t" axis and read-DB row batches ride the "d" axis (the
     reference's 64-way OpenMP merge-join, merfin-completeness.C:65, as
-    one collective program)."""
+    one collective program).  ``asm_table`` reuses a prebuilt
+    build_asm_table result (the CLI/bench build once per process)."""
     ensure_x64()
     import jax
     import jax.numpy as jnp
@@ -57,55 +90,112 @@ def run_completeness(
     multi = mh.is_active()
     pid, pcount = mh.process_info() if multi else (0, 1)
 
+    from merfin_tpu.ops.join_kernel import QB
+
+    table = asm_table if asm_table is not None else build_asm_table(
+        asm_db, read_db.k, block)
+    tree = table.tree()
+    bounds_dev = jnp.asarray(_slice_bounds(read_db.k))
+
+    # readK precomputed on the HOST: the read stream's raw values are
+    # host data, so getK costs one numpy gather per block (overlapped
+    # with device compute) instead of a device f64 gather that measures
+    # as expensive as the join itself (297 ms vs 192 ms per 4M block,
+    # docs/PERF.md r4).  readK is integer-valued and bounded by
+    # vcap/peak < 2^32 whenever peak > 0 (score/value_map.py), so the
+    # whole device program runs in u32/i64 integer math — exact on the
+    # emulated-f64 TPU by construction.
+    rk_host = vmap.read_k_host
+    int_ok = bool(np.isfinite(rk_host).all()) and float(rk_host.max()) < 2**32
+    rk_map32 = rk_host.astype(np.uint32) if int_ok else None
+    RED = 512   # two-level reduction row width
+
     @jax.jit
-    def slice_stats(read_keys, read_vals, read_mask, asm_keys, asm_vals, vm):
-        idx = jnp.searchsorted(asm_keys, read_keys)
-        idx_c = jnp.minimum(idx, asm_keys.shape[0] - 1)
-        hit = asm_keys[idx_c] == read_keys
-        asm_v = jnp.where(hit, asm_vals[idx_c], jnp.uint32(0))
-        read_k, _, _ = vmap.lookup_jnp(read_vals.astype(jnp.uint64), vm)
-        asm_k = asm_v.astype(jnp.float64)
-        read_k = jnp.where(read_mask, read_k, 0.0)
-        asm_k = jnp.where(read_mask, asm_k, 0.0)
-        total = jnp.sum(read_k)
-        undrc = jnp.sum(jnp.where(read_k > asm_k, read_k - asm_k, 0.0))
-        return total, undrc
+    def block_stats(tr, bounds, q_keys, q_readk):
+        """One read-stream block -> per-slice (total readK, undr copies)
+        as int64 [64] pairs.
+
+        q_keys sorted ascending (padding = u64::MAX, matching no k-mer
+        and landing past bounds[64]); q_readk padding 0, so padding
+        contributes nothing on either output.  Per-slice split: row sums
+        [B/512] + a tiny cumsum + 65 boundary-row prefix corrections —
+        the full-block f64 cumsum this replaces cost 322 ms per 4M
+        block, more than the join."""
+        asm_v = table.lookup_sorted_with(tr, q_keys)
+        asm_c = asm_v.astype(q_readk.dtype)
+        zero = jnp.zeros((), q_readk.dtype)
+        # u32 path: readk > asm so the subtraction never underflows;
+        # f64 fallback path computes the same expression in floats
+        und = jnp.where(q_readk > asm_c, q_readk - asm_c, zero)
+
+        def per_slice(x):
+            acc = (jnp.int64 if jnp.issubdtype(x.dtype, jnp.integer)
+                   else jnp.float64)
+            x2 = x.reshape(-1, RED)
+            rows = x2.shape[0]
+            crow = jnp.pad(jnp.cumsum(
+                jnp.sum(x2, axis=1, dtype=acc)), (1, 0))
+            bpos = jnp.searchsorted(q_keys, bounds).astype(jnp.int32)
+            r_idx = jnp.minimum(bpos // RED, rows - 1)
+            c_idx = bpos - r_idx * RED   # == RED when bpos hits the end
+            brow = x2[r_idx]             # [65, RED] gather
+            in_row = jnp.sum(jnp.where(
+                jnp.arange(RED, dtype=jnp.int32)[None, :] < c_idx[:, None],
+                brow.astype(acc), jnp.zeros((), acc)), axis=1)
+            prefix = crow[r_idx] + in_row
+            return prefix[1:] - prefix[:-1]
+
+        return per_slice(q_readk), per_slice(und)
 
     compl_total = np.zeros(SLICES, dtype=np.float64)
     compl_undrc = np.zeros(SLICES, dtype=np.float64)
 
-    for ii in range(SLICES):
-        if multi and ii % pcount != pid:
-            continue   # slice stripe (reference: OpenMP dynamic over 64)
-        r_keys, r_vals = read_db.slice(ii)
-        a_keys, a_vals = asm_db.slice(ii)
-        a_keys = np.asarray(a_keys, dtype=np.uint64)
-        a_vals = np.asarray(a_vals, dtype=np.uint32)
-        # Pad the assembly slice to a power of two so at most log2 shapes
-        # compile across the 64 slices.  Pad keys are u64::MAX, which no
-        # k-mer (<= 2^62 for k <= 31) can equal -> read as absent.
-        padded = 1 << max(0, (a_keys.size - 1).bit_length())
-        if padded < 1:
-            padded = 1
-        if a_keys.size < padded:
-            a_keys = np.pad(a_keys, (0, padded - a_keys.size),
-                            constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
-            a_vals = np.pad(a_vals, (0, padded - a_vals.size))
-        for lo in range(0, max(r_keys.shape[0], 1), block):
-            rk = np.asarray(r_keys[lo : lo + block], dtype=np.uint64)
-            rv = np.asarray(r_vals[lo : lo + block], dtype=np.uint32)
-            if rk.size == 0:
-                break
-            n = rk.size
-            if n < block:
-                rk = np.pad(rk, (0, block - n))
-                rv = np.pad(rv, (0, block - n))
-            mask = np.zeros(block, dtype=bool)
-            mask[:n] = True
-            t, u = slice_stats(rk, rv, mask, a_keys, a_vals, vm_arrays)
-            compl_total[ii] += float(t)
-            compl_undrc[ii] += float(u)
+    # contiguous row ranges to stream: the whole DB single-host, the
+    # rank's slice stripe multi-host (reference: OpenMP dynamic over 64)
+    offs = read_db.slice_offsets
+    owned = [ii for ii in range(SLICES) if not multi or ii % pcount == pid]
+    ranges = []
+    for ii in owned:
+        a, b = int(offs[ii]), int(offs[ii + 1])
+        if ranges and ranges[-1][1] == a:
+            ranges[-1][1] = b
+        else:
+            ranges.append([a, b])
 
+    def fetch(handle):
+        t, u = handle
+        compl_total[:] += np.asarray(t)
+        compl_undrc[:] += np.asarray(u)
+
+    def host_readk(rv: np.ndarray) -> np.ndarray:
+        idx = np.minimum(rv.astype(np.int64), vmap.vcap)
+        if int_ok:
+            return rk_map32[idx]
+        return rk_host[idx]   # exotic value maps (e.g. peak 0): exact
+        # host f64 readK, device sums stay f64
+
+    inflight: deque = deque()
+    for a, b in ranges:
+        lo = a
+        while lo < b:
+            rem = b - lo
+            # occupancy-sized: full blocks stream at `block`, the tail
+            # shrinks to the next pow2 (>= QB) — a handful of compiled
+            # shapes, bounded padding waste
+            bs = min(block, max(QB, 1 << (rem - 1).bit_length()))
+            rk = np.full(bs, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+            n = min(rem, bs)
+            rk[:n] = read_db.keys[lo: lo + n]
+            qk = np.zeros(bs, dtype=np.uint32 if int_ok else np.float64)
+            qk[:n] = host_readk(np.asarray(read_db.vals[lo: lo + n]))
+            inflight.append(block_stats(tree, bounds_dev, rk, qk))
+            if len(inflight) > _MAX_INFLIGHT:
+                fetch(inflight.popleft())
+            lo += n
+    while inflight:
+        fetch(inflight.popleft())
+
+    for ii in owned:
         c = 1.0 - compl_undrc[ii] / compl_total[ii] if compl_total[ii] else float("nan")
         print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
               f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
@@ -166,7 +256,10 @@ def _run_completeness_mesh(read_db: KmerDB, asm_db: KmerDB, vmap, mesh,
         r_keys, r_vals = read_db.slice(ii)
         n_slice = r_keys.shape[0]
         for lo in range(0, n_slice, D * block):
-            rk = np.zeros((D, block), dtype=np.uint64)
+            # pad keys u64::MAX: rows stay SORTED per device row, which
+            # the rec-format sorted-join probe requires (they're masked
+            # out of the sums either way)
+            rk = np.full((D, block), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
             rv = np.zeros((D, block), dtype=np.uint32)
             mask = np.zeros((D, block), dtype=bool)
             piece_k = np.asarray(r_keys[lo: lo + D * block], dtype=np.uint64)

@@ -180,35 +180,7 @@ def fold_hist_state(state, out):
             state[10] + kr, state[11] + kfbc)
 
 
-class _JnpSortJoin:
-    """CPU stand-in for the Pallas sorted-join tables: same interface,
-    compiled jnp searchsorted probe.  Off-accelerator the Pallas kernels
-    only run in interpret mode (orders of magnitude slower, meant for
-    kernel unit tests) — this keeps -sortjoin usable and bit-exact on
-    CPU backends."""
-
-    def __init__(self, keys: np.ndarray, vals: np.ndarray):
-        import jax.numpy as jnp
-
-        self.n = int(keys.size)
-        self.keys = jnp.asarray(np.ascontiguousarray(keys, np.uint64))
-        self.vals = jnp.asarray(np.ascontiguousarray(vals, np.uint32))
-
-    def tree(self):
-        return (self.keys, self.vals)
-
-    def lookup_sorted(self, q):
-        return self.lookup_sorted_with(self.tree(), q)
-
-    def lookup_sorted_with(self, tree, q):
-        import jax.numpy as jnp
-
-        keys, vals = tree
-        if self.n == 0:
-            return jnp.zeros(q.shape, jnp.uint32)
-        idx = jnp.searchsorted(keys, q)
-        idx_c = jnp.minimum(idx, self.n - 1)
-        return jnp.where(keys[idx_c] == q, vals[idx_c], jnp.uint32(0))
+from merfin_tpu.ops.sortjoin import _JnpSortJoin  # noqa: F401  (compat re-export)
 
 
 class KstarEngine:
@@ -268,29 +240,20 @@ class KstarEngine:
         # doubling rides the device sort as a secondary operand.
         self.sortjoin = bool(sortjoin)
         if self.sortjoin:
-            from merfin_tpu.ops.join_kernel import SortJoinTable, QB
-            from merfin_tpu.ops.join_kernel4 import SortJoinTableV4
+            from merfin_tpu.ops.join_kernel import QB
+            from merfin_tpu.ops.sortjoin import build_sortjoin_table
 
             assert (self.chunk * self.batch) % QB == 0
 
-            def make(lookup):
-                # host rows, not the device arrays: fetching the table
-                # back over the link just to re-pack it would be absurd,
-                # and touching lookup.keys would trigger the lazy gather-
-                # table placement a sorted-join run never needs
-                keys = lookup.keys_np
-                vals = lookup.vals_np
-                if jax.default_backend() == "cpu":
-                    return _JnpSortJoin(keys, vals)
-                # v1 wins when the table/query ratio per dispatch is small
-                # (its cost is QB x window); v4's fence narrowing scales
-                # flat with table size (docs/PERF.md measurements).
-                ratio = lookup.n / max(self.chunk * self.batch, 1)
-                cls = SortJoinTable if ratio <= 2 else SortJoinTableV4
-                return cls(keys, vals, k)
-
-            self._sj_read = make(read_lookup)
-            self._sj_asm = make(asm_lookup)
+            # host rows (keys_np/vals_np), not the device arrays: fetching
+            # the table back over the link just to re-pack it would be
+            # absurd, and touching lookup.keys would trigger the lazy
+            # gather-table placement a sorted-join run never needs
+            windows = self.chunk * self.batch
+            self._sj_read = build_sortjoin_table(
+                read_lookup.keys_np, read_lookup.vals_np, k, windows)
+            self._sj_asm = build_sortjoin_table(
+                asm_lookup.keys_np, asm_lookup.vals_np, k, windows)
 
         # Table/value-map arrays flow through jit as ARGUMENTS so the
         # compiled programs are table-independent (closure-captured

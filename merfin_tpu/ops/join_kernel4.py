@@ -125,53 +125,139 @@ def _kernel(seg0_ref, nseg_ref,
     out_ref[0] = acc.astype(jnp.uint32).reshape(1, QB)
 
 
+def build_rec_np(keys: np.ndarray, vals: np.ndarray,
+                 pad: int | None = None):
+    """Host-side v4 record build: sorted (keys, vals) -> (rec u8
+    [n_segs, REC_ROWS, 128], seg_first u64 [n_segs]).  ``pad`` forces the
+    padded entry count (pow2 multiple of SEG >= 2*SEG) so independently
+    built table shards can share one array shape (parallel/sharded.py);
+    default sizes to the table."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    n = int(keys.size)
+    if pad is None:
+        pad = ((n + SEG - 1) // SEG + 1) * SEG
+        pad = max(2 * SEG, 1 << (pad - 1).bit_length())
+    assert pad >= max(2 * SEG, n) and pad % SEG == 0
+    hi = np.full(pad, PAD_HI, np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, np.uint32)
+    v = np.zeros(pad, np.uint32)
+    hi[:n] = (keys >> np.uint64(32)).astype(np.uint32)
+    lo[:n] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    v[:n] = vals
+
+    n_segs = pad // SEG
+
+    def bytes_of(x):  # big-endian byte planes of a u32 array
+        return [((x >> (8 * (3 - j))) & 0xFF).astype(np.uint8)
+                for j in range(4)]
+
+    planes = bytes_of(hi) + bytes_of(lo) + bytes_of(v)
+    rec = np.zeros((n_segs, REC_ROWS, LANES), np.uint8)
+    for p, plane in enumerate(planes):
+        rec[:, p * SEG_ROWS : (p + 1) * SEG_ROWS, :] = (
+            plane.reshape(n_segs, SEG_ROWS, LANES))
+
+    # fence byte rows: first key of each 128-row, lane-padded with
+    # PAD_HI/0xFFFFFFFF pieces (order-safe after kernel reconstruction)
+    rows = pad // LANES
+    f_hi = np.full((n_segs, LANES), PAD_HI, np.uint32)
+    f_lo = np.full((n_segs, LANES), 0xFFFFFFFF, np.uint32)
+    f_hi[:, :SEG_ROWS] = hi.reshape(rows, LANES)[:, 0].reshape(n_segs, SEG_ROWS)
+    f_lo[:, :SEG_ROWS] = lo.reshape(rows, LANES)[:, 0].reshape(n_segs, SEG_ROWS)
+    for j, b in enumerate(bytes_of(f_hi) + bytes_of(f_lo)):
+        rec[:, REC_PLANE_ROWS + j, :] = b
+
+    return rec, seg_first_np(keys, n_segs)
+
+
+def seg_first_np(keys: np.ndarray, n_segs: int) -> np.ndarray:
+    """Segment index: first key of each SEG-entry segment (u64; tiny).
+    Pad segments index as u64::MAX (sorts past every real key)."""
+    seg_first = np.full(n_segs, 0xFFFFFFFFFFFFFFFF, np.uint64)
+    if keys.size:
+        real = keys[::SEG][:n_segs]
+        seg_first[: real.size] = real
+    else:
+        seg_first[0] = 0
+    return seg_first
+
+
+def join_sorted_rec(rec, seg_first, q):
+    """Standalone v4 sorted-join: values for SORTED uint64 queries ``q``
+    (len multiple of QB) against (rec, seg_first) planes from
+    build_rec_np.  Usable inside shard_map (everything derives from
+    operand shapes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_segs = rec.shape[0]
+    m = q.shape[0]
+    assert m % QB == 0
+    g = m // QB
+
+    # segment-granular block windows from the tiny segment index:
+    # block i covers segments [seg0, seg0+nseg)
+    bounds_lo = q[::QB]
+    bounds_hi = q[QB - 1 :: QB]
+    seg0 = (jnp.searchsorted(seg_first, bounds_lo, side="right")
+            .astype(jnp.int32) - 1)
+    seg0 = jnp.clip(seg0, 0, max(n_segs - 1, 0))
+    seg_end = jnp.searchsorted(seg_first, bounds_hi, side="right").astype(jnp.int32)
+    nseg = jnp.clip(seg_end - seg0, 1, n_segs - seg0)
+
+    qhi = (q >> np.uint64(32)).astype(jnp.uint32)
+    qlo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    to_i32 = lambda x: x.astype(jnp.int64).astype(jnp.int32)
+    bias = jnp.uint32(0x80000000)
+    q_hi_arg = to_i32(qhi).reshape(g, 1, QB)
+    q_lo_arg = jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(g, 1, QB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, QB),
+                         lambda i, *_: (i, np.int32(0), np.int32(0))),
+            pl.BlockSpec((1, 1, QB),
+                         lambda i, *_: (i, np.int32(0), np.int32(0))),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, QB), lambda i, *_: (i, np.int32(0), np.int32(0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, REC_ROWS, LANES), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((g, 1, QB), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(seg0, nseg, q_hi_arg, q_lo_arg, rec)
+    return out.reshape(-1)
+
+
 class SortJoinTableV4:
     """Device table with u8 plane records + segment-key index."""
 
     def __init__(self, keys: np.ndarray, vals: np.ndarray, k: int):
         import jax.numpy as jnp
 
-        keys = np.ascontiguousarray(keys, dtype=np.uint64)
-        vals = np.ascontiguousarray(vals, dtype=np.uint32)
         self.k = int(k)
-        self.n = int(keys.size)
-        pad = ((self.n + SEG - 1) // SEG + 1) * SEG
-        pad = max(2 * SEG, 1 << (pad - 1).bit_length())
-        hi = np.full(pad, PAD_HI, np.uint32)
-        lo = np.full(pad, 0xFFFFFFFF, np.uint32)
-        v = np.zeros(pad, np.uint32)
-        hi[: self.n] = (keys >> np.uint64(32)).astype(np.uint32)
-        lo[: self.n] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        v[: self.n] = vals
-
-        n_segs = pad // SEG
-
-        def bytes_of(x):  # big-endian byte planes of a u32 array
-            return [((x >> (8 * (3 - j))) & 0xFF).astype(np.uint8)
-                    for j in range(4)]
-
-        planes = bytes_of(hi) + bytes_of(lo) + bytes_of(v)
-        rec = np.zeros((n_segs, REC_ROWS, LANES), np.uint8)
-        for p, plane in enumerate(planes):
-            rec[:, p * SEG_ROWS : (p + 1) * SEG_ROWS, :] = (
-                plane.reshape(n_segs, SEG_ROWS, LANES))
-
-        # fence byte rows: first key of each 128-row, lane-padded with
-        # PAD_HI/0xFFFFFFFF pieces (order-safe after kernel reconstruction)
-        rows = pad // LANES
-        f_hi = np.full((n_segs, LANES), PAD_HI, np.uint32)
-        f_lo = np.full((n_segs, LANES), 0xFFFFFFFF, np.uint32)
-        f_hi[:, :SEG_ROWS] = hi.reshape(rows, LANES)[:, 0].reshape(n_segs, SEG_ROWS)
-        f_lo[:, :SEG_ROWS] = lo.reshape(rows, LANES)[:, 0].reshape(n_segs, SEG_ROWS)
-        for j, b in enumerate(bytes_of(f_hi) + bytes_of(f_lo)):
-            rec[:, REC_PLANE_ROWS + j, :] = b
-
+        self.n = int(np.asarray(keys).size)
+        rec, seg_first = build_rec_np(keys, vals)
         self.rec = jnp.asarray(rec)
-        # segment index: first key of each segment (u64; tiny)
-        self.seg_first = jnp.asarray(keys[:: SEG][: n_segs]) if self.n else (
-            jnp.zeros(1, jnp.uint64))
-        self.pad = pad
-        self.n_segs = n_segs
+        self.seg_first = jnp.asarray(seg_first)
+        self.pad = rec.shape[0] * SEG
+        self.n_segs = rec.shape[0]
 
     def tree(self):
         return (self.rec, self.seg_first)

@@ -24,9 +24,10 @@ import numpy as np
 
 from merfin_tpu.modes.engine import (NBINS, fold_hist_state,  # noqa: F401  (zero_hist_state re-exported for step callers)
                                      two_hist_by_sort, zero_hist_state)
-from merfin_tpu.ops.kmer_ops import (kmer_windows, canonical_and_mult,
+from merfin_tpu.ops.kmer_ops import (kmer_windows, canonical_and_mult,  # noqa: F401  (canonical_and_mult re-exported for step callers)
                                      unpack_transfer, seg_from_marks)
-from merfin_tpu.parallel.sharded import ShardedLookup, _local_probe
+from merfin_tpu.parallel.sharded import (ShardedLookup, _local_probe,  # noqa: F401
+                                         dual_probe_local)
 from merfin_tpu.score.kover import kover_parts
 
 
@@ -69,28 +70,26 @@ def make_hist_step(
     @partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,   # Pallas calls inside (rec probes)
         in_specs=(
-            P("t", None), P("t", None),   # read table shard
-            P("t", None), P("t", None),   # asm table shard
+            *read_lookup.in_specs(),      # read table shard
+            *asm_lookup.in_specs(),       # asm table shard
             P(), P(),                     # value map (replicated)
             P(), P(),                     # bin tables (replicated)
             *data_specs,                  # chunk batch sharded on d
         ),
         out_specs=(P(),) * 12,
     )
-    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
+    def step(rt0, rt1, at0, at1, rk_map, pr_map,
              undr_t, over_t, *data):
         if pack_chunk is None:
             codes, = data
         else:
             codes = unpack_transfer(data[0], data[1], pack_chunk + k - 1)
         fmer, rmer, valid = kmer_windows(codes, k)
-        canon, mult = canonical_and_mult(fmer, rmer)
-
-        read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
-        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
-        read_v = read_v.astype(jnp.uint64) * mult
-        asm_v = asm_v.astype(jnp.uint64) * mult
+        read_v, asm_v, valid = dual_probe_local(
+            read_lookup, asm_lookup, (rt0, rt1), (at0, at1),
+            fmer, rmer, valid, k)
 
         read_k, prob, overflow = value_map.lookup_jnp(read_v, (rk_map, pr_map))
         asm_k = asm_v.astype(jnp.float64)
@@ -143,8 +142,7 @@ def make_hist_step(
         donate_argnums=4)
 
     def run(state, *data):
-        return jrun(read_lookup.keys, read_lookup.vals,
-                    asm_lookup.keys, asm_lookup.vals, state, *data)
+        return jrun(*read_lookup.arrays, *asm_lookup.arrays, state, *data)
 
     return run
 
@@ -184,15 +182,16 @@ def make_hist_group_step(
     @partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,   # Pallas calls inside (rec probes)
         in_specs=(
-            P("t", None), P("t", None),
-            P("t", None), P("t", None),
+            *read_lookup.in_specs(),
+            *asm_lookup.in_specs(),
             P(), P(), P(), P(),
             *data_specs,
         ),
         out_specs=(P(),) * 12,
     )
-    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map,
+    def step(rt0, rt1, at0, at1, rk_map, pr_map,
              undr_t, over_t, *data):
         if pack_chunk is None:
             codes, seg = data
@@ -200,12 +199,11 @@ def make_hist_group_step(
             codes = unpack_transfer(data[0], data[1], pack_chunk + k - 1)
             seg = seg_from_marks(data[2], data[3], pack_chunk)
         fmer, rmer, valid = kmer_windows(codes, k)
-        canon, mult = canonical_and_mult(fmer, rmer)
-
-        read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
-        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
-        read_v = read_v.astype(jnp.uint64) * mult
-        asm_v = asm_v.astype(jnp.uint64) * mult
+        # seg rides the probe's sort as a carry (the engine group path's
+        # trick, modes/engine.py:_lookup_kvals_sorted_seg)
+        read_v, asm_v, valid, seg = dual_probe_local(
+            read_lookup, asm_lookup, (rt0, rt1), (at0, at1),
+            fmer, rmer, valid, k, carries=(seg.astype(jnp.int32),))
 
         read_k, prob, overflow = value_map.lookup_jnp(read_v, (rk_map, pr_map))
         asm_k = asm_v.astype(jnp.float64)
@@ -254,8 +252,7 @@ def make_hist_group_step(
         *data))
 
     def run(*data):
-        return jrun(read_lookup.keys, read_lookup.vals,
-                    asm_lookup.keys, asm_lookup.vals, *data)
+        return jrun(*read_lookup.arrays, *asm_lookup.arrays, *data)
 
     return run
 
@@ -279,15 +276,20 @@ def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):
     @partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,   # Pallas calls inside (rec probes)
         in_specs=(
-            P("t", None), P("t", None),   # asm table shard
+            *asm_lookup.in_specs(),       # asm table shard
             P(), P(),                     # value map (replicated)
             P("d", None), P("d", None), P("d", None),
         ),
         out_specs=(P(), P()),
     )
-    def step(as_keys, as_vals, rk_map, pr_map, rkeys, rvals, rmask):
-        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], rkeys), "t")
+    def step(at0, at1, rk_map, pr_map, rkeys, rvals, rmask):
+        # read-DB rows arrive ALREADY sorted per device (MKDB slices are
+        # sorted on disk, padding keys are u64::MAX): the sorted-join
+        # probe needs no device sort at all
+        asm_v = jax.lax.psum(asm_lookup.probe_sorted_local(
+            (at0, at1), rkeys.reshape(-1)), "t").reshape(rkeys.shape)
         read_k, _, _ = value_map.lookup_jnp(
             rvals.astype(jnp.uint64), (rk_map, pr_map))
         asm_k = asm_v.astype(jnp.float64)
@@ -305,7 +307,7 @@ def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):
         as_k, as_v, rk_dev, pr_dev, rkeys, rvals, rmask))
 
     def run(rkeys, rvals, rmask):
-        return jrun(asm_lookup.keys, asm_lookup.vals, rkeys, rvals, rmask)
+        return jrun(*asm_lookup.arrays, rkeys, rvals, rmask)
 
     return run
 
@@ -341,27 +343,31 @@ def make_dump_step(
     @partial(
         shard_map,
         mesh=mesh,
+        check_vma=False,   # Pallas calls inside (rec probes)
         in_specs=(
-            P("t", None), P("t", None),
-            P("t", None), P("t", None),
+            *read_lookup.in_specs(),
+            *asm_lookup.in_specs(),
             P(), P(),
             *data_specs,
         ),
         out_specs=(P("d", None), P("d", None),
                    P("d"), P("d"), P()),
     )
-    def step(rk_keys, rk_vals, as_keys, as_vals, rk_map, pr_map, *data):
+    def step(rt0, rt1, at0, at1, rk_map, pr_map, *data):
         if pack_chunk is None:
             codes, = data
         else:
             codes = unpack_transfer(data[0], data[1], pack_chunk + k - 1)
         fmer, rmer, valid = kmer_windows(codes, k)
-        canon, mult = canonical_and_mult(fmer, rmer)
-
-        read_v = jax.lax.psum(_local_probe(rk_keys[0], rk_vals[0], canon), "t")
-        asm_v = jax.lax.psum(_local_probe(as_keys[0], as_vals[0], canon), "t")
-        read_v = read_v.astype(jnp.uint64) * mult
-        asm_v = asm_v.astype(jnp.uint64) * mult
+        shape = fmer.shape
+        # positional: sorted-join probes restore window order by the
+        # carried index (dump emits per-position rows, merfin.C:384)
+        read_v, asm_v, valid_f = dual_probe_local(
+            read_lookup, asm_lookup, (rt0, rt1), (at0, at1),
+            fmer, rmer, valid, k, positional=True)
+        read_v = read_v.reshape(shape)
+        asm_v = asm_v.reshape(shape)
+        valid = valid_f.reshape(shape)
 
         read_k, prob, overflow = value_map.lookup_jnp(read_v, (rk_map, pr_map))
         asm_k = asm_v.astype(jnp.float64)
@@ -389,7 +395,6 @@ def make_dump_step(
         rk_k, rk_v, as_k, as_v, rk_dev, pr_dev, *data))
 
     def run(*data):
-        return jrun(read_lookup.keys, read_lookup.vals,
-                    asm_lookup.keys, asm_lookup.vals, *data)
+        return jrun(*read_lookup.arrays, *asm_lookup.arrays, *data)
 
     return run

@@ -69,30 +69,51 @@ def partition_rows(keys: np.ndarray, vals: np.ndarray, shards: int):
 
 @dataclasses.dataclass
 class ShardedLookup:
-    """Device-mesh resident exact lookup (value 0 for absent keys)."""
+    """Device-mesh resident exact lookup (value 0 for absent keys).
+
+    Two on-device shard formats, one probe contract:
+
+      * ``plane`` — raw sorted (keys u64, vals u32) rows per shard,
+        probed with a vectorized binary search (jnp.searchsorted).  The
+        CPU-backend default (the Pallas kernels only interpret there).
+      * ``rec``  — v4 sorted-join records (ops/join_kernel4.py): u8 key/
+        value byte planes + fence rows, 12.06 B/key (same HBM as plane),
+        probed by the gather-free Pallas kernel at 25-50M lookups/s/chip
+        vs ~2-7M for searchsorted (docs/PERF.md).  The accelerator
+        default — the mesh data plane rides the same kernels as the
+        single-chip engine.
+
+    Probes require SORTED queries (consumers sort once per step and
+    carry segment/index planes through the sort; searchsorted accepts
+    sorted streams too, so both formats share every call site).
+    """
 
     mesh: object
-    keys: object   # [T, M] sharded along "t"
-    vals: object   # [T, M] sharded along "t"
+    fmt: str       # "plane" | "rec"
+    arrays: tuple  # plane: (keys[T,M], vals[T,M]); rec: (rec[T,S,R,128], seg_first[T,S])
     n: int
     k: int
     _jit_lookup: object = dataclasses.field(default=None, repr=False,
                                             compare=False)
 
     @classmethod
-    def build(cls, db_or_arrays, mesh, min_v: int = 0, max_v: int = 2**64 - 1):
+    def build(cls, db_or_arrays, mesh, min_v: int = 0, max_v: int = 2**64 - 1,
+              fmt: str | None = None):
         """Build the sharded table over ``mesh`` (single- or multi-host).
 
         Each shard row is materialized lazily in the device_put callback,
         so on a multi-host mesh every host only touches the table rows
         its local devices own (the memmapped MKDB serves the slices) —
-        no host ever holds the padded [T, M] arrays, which is the point:
-        a 150-200 GB read table splits across the slice's HBM instead of
-        duplicating per node (SURVEY §2.3).
+        no host ever holds the padded [T, ...] arrays, which is the
+        point: a 150-200 GB read table splits across the slice's HBM
+        instead of duplicating per node (SURVEY §2.3).
         """
         ensure_x64()
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if fmt is None:
+            fmt = "plane" if jax.default_backend() == "cpu" else "rec"
 
         if isinstance(db_or_arrays, KmerDB):
             keys = db_or_arrays.keys   # memmap: slices read lazily
@@ -130,50 +151,138 @@ class ShardedLookup:
             n = n_raw
             m_pad = max(1, max(bounds[i + 1] - bounds[i] for i in range(t)))
 
-        def shard_rows(src, fill, dtype):
-            def cb(index):
-                rows = range(*index[0].indices(t))
-                cols = index[1].indices(m_pad)
-                assert cols[0] == 0 and cols[1] == m_pad
-                out = np.full((len(rows), m_pad), fill, dtype=dtype)
-                for j, r in enumerate(rows):
-                    a, b = bounds[r], bounds[r + 1]
-                    row = np.asarray(src[a:b])
-                    if filt:
-                        vv = row if src is vals else np.asarray(vals[a:b])
-                        row = row[(vv >= min_v) & (vv <= max_v)]
-                    out[j, : row.shape[0]] = row
-                return out
-            return cb
+        def shard_src(r):
+            """Filtered (keys, vals) numpy rows of shard r."""
+            a, b = bounds[r], bounds[r + 1]
+            kk = np.asarray(keys[a:b])
+            vv = np.asarray(vals[a:b])
+            if filt:
+                sel = (vv >= min_v) & (vv <= max_v)
+                kk, vv = kk[sel], vv[sel]
+            return kk, vv
 
-        sh = NamedSharding(mesh, P("t", None))
-        return cls(
-            mesh=mesh,
-            keys=jax.make_array_from_callback(
-                (t, m_pad), sh, shard_rows(keys, PAD_KEY, np.uint64)),
-            vals=jax.make_array_from_callback(
-                (t, m_pad), sh, shard_rows(vals, 0, np.uint32)),
-            n=int(n),
-            k=int(k),
-        )
+        if fmt == "rec":
+            from merfin_tpu.ops.join_kernel4 import (REC_ROWS, LANES, SEG,
+                                                     build_rec_np)
+
+            pad = ((m_pad + SEG - 1) // SEG + 1) * SEG
+            pad = max(2 * SEG, 1 << (pad - 1).bit_length())
+            n_segs = pad // SEG
+
+            def shard_rec(index):
+                rows = range(*index[0].indices(t))
+                out = np.zeros((len(rows), n_segs, REC_ROWS, LANES),
+                               np.uint8)
+                for j, r in enumerate(rows):
+                    out[j] = build_rec_np(*shard_src(r), pad=pad)[0]
+                return out
+
+            def shard_seg_first(index):
+                from merfin_tpu.ops.join_kernel4 import seg_first_np
+
+                rows = range(*index[0].indices(t))
+                out = np.zeros((len(rows), n_segs), np.uint64)
+                for j, r in enumerate(rows):
+                    out[j] = seg_first_np(shard_src(r)[0], n_segs)
+                return out
+
+            sh4 = NamedSharding(mesh, P("t", None, None, None))
+            sh2 = NamedSharding(mesh, P("t", None))
+            arrays = (
+                jax.make_array_from_callback(
+                    (t, n_segs, REC_ROWS, LANES), sh4, shard_rec),
+                jax.make_array_from_callback(
+                    (t, n_segs), sh2, shard_seg_first),
+            )
+        else:
+            def shard_rows(which, fill, dtype):
+                def cb(index):
+                    rows = range(*index[0].indices(t))
+                    cols = index[1].indices(m_pad)
+                    assert cols[0] == 0 and cols[1] == m_pad
+                    out = np.full((len(rows), m_pad), fill, dtype=dtype)
+                    for j, r in enumerate(rows):
+                        row = shard_src(r)[which]
+                        out[j, : row.shape[0]] = row
+                    return out
+                return cb
+
+            sh = NamedSharding(mesh, P("t", None))
+            arrays = (
+                jax.make_array_from_callback(
+                    (t, m_pad), sh, shard_rows(0, PAD_KEY, np.uint64)),
+                jax.make_array_from_callback(
+                    (t, m_pad), sh, shard_rows(1, 0, np.uint32)),
+            )
+
+        return cls(mesh=mesh, fmt=fmt, arrays=arrays, n=int(n), k=int(k))
+
+    # -- shard_map plumbing ------------------------------------------------
+
+    def in_specs(self):
+        """PartitionSpecs of ``arrays`` for a shard_map over ("d", "t")."""
+        from jax.sharding import PartitionSpec as P
+
+        if self.fmt == "rec":
+            return (P("t", None, None, None), P("t", None))
+        return (P("t", None), P("t", None))
+
+    def probe_sorted_local(self, tree_local, qs):
+        """Probe THIS device's shard with a SORTED flat u64 query array;
+        misses/pad return 0, so callers psum over "t".  ``tree_local`` is
+        the per-device view of ``arrays`` inside shard_map (leading axis
+        1).  Sub-QB-multiple streams pad with u64::MAX sentinels (stays
+        sorted; production chunks are pow2 >= 4096 so this is test-shape
+        plumbing, not a hot-path copy)."""
+        if self.fmt == "rec":
+            import jax.numpy as jnp
+
+            from merfin_tpu.ops.join_kernel4 import QB, join_sorted_rec
+
+            rec, seg_first = tree_local
+            m = qs.shape[0]
+            pad = (-m) % QB
+            if pad:
+                qs = jnp.concatenate(
+                    [qs, jnp.full(pad, PAD_KEY, jnp.uint64)])
+            return join_sorted_rec(rec[0], seg_first[0], qs)[:m]
+        keys, vals = tree_local
+        return _local_probe(keys[0], vals[0], qs)
+
+    def _probe_psum(self, tree_local, q):
+        """Any-shape probe inside shard_map: sort, probe, unsort, psum.
+        (Consumers with a sorted stream use probe_sorted_local to skip
+        the per-probe sort/unsort.)"""
+        import jax
+        import jax.numpy as jnp
+
+        flat = q.reshape(-1)
+        if self.fmt == "rec":
+            idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+            qs, idx_s = jax.lax.sort((flat, idx), num_keys=1)
+            vs = self.probe_sorted_local(tree_local, qs)
+            _, vu = jax.lax.sort((idx_s, vs), num_keys=1)
+            out = vu
+        else:
+            out = self.probe_sorted_local(tree_local, flat)
+        return jax.lax.psum(out.reshape(q.shape), "t")
 
     def lookup(self, q):
         """Replicated-in, replicated-out lookup of a query array."""
-        import jax
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
         @partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(P("t", None), P("t", None), P()),
+            check_vma=False,   # Pallas calls inside (rec probes)
+            in_specs=(*self.in_specs(), P()),
             out_specs=P(),
         )
-        def f(keys, vals, q):
-            out = _local_probe(keys[0], vals[0], q)
-            return jax.lax.psum(out, "t")
+        def f(*args):
+            return self._probe_psum(args[:-1], args[-1])
 
-        return f(self.keys, self.vals, q)
+        return f(*self.arrays, q)
 
     def lookup_np(self, q: np.ndarray) -> np.ndarray:
         """Numpy-in/numpy-out lookup for host-driven pipelines (the
@@ -190,11 +299,12 @@ class ShardedLookup:
             @partial(
                 shard_map,
                 mesh=self.mesh,
-                in_specs=(P("t", None), P("t", None), P()),
+                check_vma=False,   # Pallas calls inside (rec probes)
+                in_specs=(*self.in_specs(), P()),
                 out_specs=P(),
             )
-            def f(keys, vals, q):
-                return jax.lax.psum(_local_probe(keys[0], vals[0], q), "t")
+            def f(*args):
+                return self._probe_psum(args[:-1], args[-1])
 
             self._jit_lookup = jax.jit(f)
 
@@ -205,26 +315,100 @@ class ShardedLookup:
         p = max(4096, 1 << (n - 1).bit_length())
         qp = np.zeros(p, dtype=np.uint64)
         qp[:n] = q.reshape(-1)
-        out = np.asarray(self._jit_lookup(self.keys, self.vals, jnp.asarray(qp)))
+        out = np.asarray(self._jit_lookup(*self.arrays, jnp.asarray(qp)))
         return out[:n].astype(np.uint64).reshape(q.shape)
 
     def lookup_sharded(self, q, qspec):
         """Lookup with queries sharded along the "d" axis (qspec P("d"))."""
-        import jax
-        from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
         @partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(P("t", None), P("t", None), qspec),
+            check_vma=False,   # Pallas calls inside (rec probes)
+            in_specs=(*self.in_specs(), qspec),
             out_specs=qspec,
         )
-        def f(keys, vals, q):
-            out = _local_probe(keys[0], vals[0], q)
-            return jax.lax.psum(out, "t")
+        def f(*args):
+            return self._probe_psum(args[:-1], args[-1])
 
-        return f(self.keys, self.vals, q)
+        return f(*self.arrays, q)
+
+
+def dual_probe_local(read_lookup: ShardedLookup, asm_lookup: ShardedLookup,
+                     r_tree, a_tree, fmer, rmer, valid, k: int,
+                     carries=(), positional: bool = False):
+    """Dual sharded-table probe inside a shard_map body.
+
+    Returns FLAT (read_v u64, asm_v u64, valid, carries...) after the
+    psum over "t", with fmer+rmer palindrome doubling applied for even k
+    (merfin-globals.C:101-110).  On ``rec`` tables the queries ride the
+    Pallas sorted-join kernels: one device sort, probes, and either
+    sorted order (reduction consumers; ``carries`` arrays follow the
+    permutation, invalid windows become u64::MAX sentinels exactly like
+    the engine's sorted path) or restored window order
+    (``positional=True``, for -dump/-variants).  ``plane`` tables probe
+    in place (searchsorted), order unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flat = lambda x: x.reshape(-1)
+    if read_lookup.fmt != "rec":
+        canon = jnp.minimum(fmer, rmer)
+        mult = (jnp.where(fmer == rmer, jnp.uint64(2), jnp.uint64(1))
+                if k % 2 == 0 else None)
+        read_v = jax.lax.psum(
+            read_lookup.probe_sorted_local(r_tree, flat(canon)), "t")
+        asm_v = jax.lax.psum(
+            asm_lookup.probe_sorted_local(a_tree, flat(canon)), "t")
+        read_v = read_v.astype(jnp.uint64)
+        asm_v = asm_v.astype(jnp.uint64)
+        if mult is not None:
+            read_v = read_v * flat(mult)
+            asm_v = asm_v * flat(mult)
+        return (read_v, asm_v, flat(valid), *[flat(c) for c in carries])
+
+    sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    canon = flat(jnp.where(valid, jnp.minimum(fmer, rmer), sentinel))
+    ops = [canon]
+    even = k % 2 == 0
+    if even and not positional:
+        ops.append(flat(jnp.where(fmer == rmer, jnp.uint32(2),
+                                  jnp.uint32(1))))
+    if positional:
+        ops.append(jnp.arange(canon.shape[0], dtype=jnp.int32))
+    else:
+        ops += [flat(c) for c in carries]
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
+    qs, rest = sorted_ops[0], list(sorted_ops[1:])
+    read_s = jax.lax.psum(
+        read_lookup.probe_sorted_local(r_tree, qs), "t")
+    asm_s = jax.lax.psum(
+        asm_lookup.probe_sorted_local(a_tree, qs), "t")
+
+    if positional:
+        # restore window order by the carried index (u32 values sort as
+        # operands; mult/valid/carries are recomputed positionally)
+        idx_s = rest.pop(0)
+        _, read_u, asm_u = jax.lax.sort((idx_s, read_s, asm_s), num_keys=1)
+        read_v = read_u.astype(jnp.uint64)
+        asm_v = asm_u.astype(jnp.uint64)
+        if even:
+            mult = flat(jnp.where(fmer == rmer, jnp.uint64(2),
+                                  jnp.uint64(1)))
+            read_v = read_v * mult
+            asm_v = asm_v * mult
+        return (read_v, asm_v, flat(valid), *[flat(c) for c in carries])
+
+    read_v = read_s.astype(jnp.uint64)
+    asm_v = asm_s.astype(jnp.uint64)
+    if even:
+        mult_s = rest.pop(0)
+        read_v = read_v * mult_s
+        asm_v = asm_v * mult_s
+    valid_s = qs != sentinel
+    return (read_v, asm_v, valid_s, *rest)
 
 
 def put_global(arr: np.ndarray, mesh, spec):

@@ -239,25 +239,18 @@ class DeviceScorer(_FusedScorer):
             sortjoin = jax.default_backend() != "cpu"
         self.sortjoin = bool(sortjoin)
         if self.sortjoin:
-            from merfin_tpu.modes.engine import _JnpSortJoin
-            from merfin_tpu.ops.join_kernel import SortJoinTable
-            from merfin_tpu.ops.join_kernel4 import SortJoinTableV4
+            from merfin_tpu.ops.sortjoin import build_sortjoin_table
 
             self.MAX_WINDOWS = 1 << 22
-
-            def make(lookup):
-                keys, vals = lookup.keys_np, lookup.vals_np
-                if jax.default_backend() == "cpu":
-                    return _JnpSortJoin(keys, vals)
-                # same ratio rule as KstarEngine: v1's cost is
-                # QB x window span (wins when table/queries is small),
-                # v4's fence narrowing is flat in table size
-                ratio = lookup.n / self.MAX_WINDOWS
-                cls = SortJoinTable if ratio <= 2 else SortJoinTableV4
-                return cls(keys, vals, k)
-
-            self._sj_read = make(read_lookup)
-            self._sj_asm = make(asm_lookup)
+            # same ratio rule as KstarEngine (shared builder): v1's cost
+            # is QB x window span (wins when table/queries is small),
+            # v4's fence narrowing is flat in table size
+            self._sj_read = build_sortjoin_table(
+                read_lookup.keys_np, read_lookup.vals_np, k,
+                self.MAX_WINDOWS)
+            self._sj_asm = build_sortjoin_table(
+                asm_lookup.keys_np, asm_lookup.vals_np, k,
+                self.MAX_WINDOWS)
         self._impl = jax.jit(self._score_stream, static_argnums=0)
 
     def _score_stream(self, n, r_tree, a_tree, vm, planes, vbits,
@@ -351,29 +344,31 @@ class ShardedScorer(_FusedScorer):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from merfin_tpu.parallel.sharded import _local_probe
+        from merfin_tpu.parallel.sharded import dual_probe_local
         from merfin_tpu.ops.kmer_ops import unpack_transfer
 
         value_map = self.value_map
         k = self.k
+        rs, As = self.read_sharded, self.asm_sharded
 
         @partial(
-            shard_map, mesh=self.mesh,
-            in_specs=(P("t", None), P("t", None), P("t", None), P("t", None),
+            shard_map, mesh=self.mesh, check_vma=False,
+            in_specs=(*rs.in_specs(), *As.in_specs(),
                       P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P(), P()),
         )
-        def step(rk, rv, ak, av, vm_rk, vm_pr, planes, vbits,
+        def step(rt0, rt1, at0, at1, vm_rk, vm_pr, planes, vbits,
                  adj_bits, mark_bits, b_start, b_end):
             codes = unpack_transfer(planes, vbits, p + k - 1)
             adjust, path_start = _planes_from_bits(adj_bits, mark_bits, p,
                                                    value_map.has_prob)
             fmer, rmer, valid = kmer_windows(codes, k)
-            canon, mult = canonical_and_mult(fmer, rmer)
-            read_v = jax.lax.psum(_local_probe(rk[0], rv[0], canon), "t")
-            asm_v = jax.lax.psum(_local_probe(ak[0], av[0], canon), "t")
-            read_v = read_v.astype(jnp.uint64) * mult
-            asm_v = asm_v.astype(jnp.uint64) * mult
+            # positional: the per-window math (adjust plane, stale-prob
+            # fill, path boundaries) is window-ordered, so rec tables
+            # sort + Pallas-join + unsort by carried index
+            read_v, asm_v, valid = dual_probe_local(
+                rs, As, (rt0, rt1), (at0, at1), fmer, rmer, valid, k,
+                positional=True)
             missing, dkstr, overflow = _stream_math(
                 value_map, (vm_rk, vm_pr), read_v, asm_v, valid, adjust,
                 path_start)
@@ -383,10 +378,9 @@ class ShardedScorer(_FusedScorer):
         rk_dev = jnp.asarray(value_map.read_k_host)
         pr_dev = jnp.asarray(value_map.prob_host)
         jstep = jax.jit(step)
-        rs, As = self.read_sharded, self.asm_sharded
 
         def run(planes, vbits, adj_bits, mark_bits, b_start, b_end):
-            return jstep(rs.keys, rs.vals, As.keys, As.vals,
+            return jstep(*rs.arrays, *As.arrays,
                          rk_dev, pr_dev, planes, vbits, adj_bits, mark_bits,
                          b_start, b_end)
 

@@ -336,3 +336,69 @@ def test_device_scorer_raw_scores_match(world):
             assert h.num_m == d.num_m
             np.testing.assert_allclose(select.tot_dk(d), select.tot_dk(h),
                                        rtol=1e-12, atol=1e-12)
+
+
+def test_device_scorer_pooled_imap_matches_host(world, tmp_path, monkeypatch):
+    """threads=2 + fused scorer: heavy clusters route through the
+    spawned pool's ordered imap (PathBlocks pickled back as numpy
+    buffers, modes/variants.py use_blocks pipeline) — output must be
+    byte-identical to the serial host scorer.  _POOL_MIN_PATHS is
+    lowered so this world's small clusters actually count as heavy."""
+    from merfin_tpu.modes import variants as mv
+    from merfin_tpu.variants.device_score import DeviceScorer
+
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+
+    vcf = VcfFile(world["vcf"], log=io.StringIO())
+    vcf.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+    host_out = tmp_path / "h_pool"
+    run_variants("polish", SeqFile(world["fasta"]), vcf, K,
+                 rl.lookup_np, al.lookup_np, peak=30.0, prob_table=None,
+                 out_name=str(host_out), log=io.StringIO())
+
+    monkeypatch.setattr(mv, "_POOL_MIN_PATHS", 1)
+    vcf2 = VcfFile(world["vcf"], log=io.StringIO())
+    vcf2.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+    scorer = DeviceScorer(rl, al, K, 30.0, None)
+    dev_out = tmp_path / "d_pool"
+    run_variants("polish", SeqFile(world["fasta"]), vcf2, K,
+                 rl.lookup_np, al.lookup_np, peak=30.0, prob_table=None,
+                 out_name=str(dev_out), log=io.StringIO(), scorer=scorer,
+                 threads=2)
+
+    a = (tmp_path / "h_pool.polish.vcf").read_bytes()
+    b = (tmp_path / "d_pool.polish.vcf").read_bytes()
+    assert a == b
+
+
+def test_sharded_scorer_rec_matches_host(world, tmp_path):
+    """ShardedScorer over rec-format (sorted-join) table shards — the
+    accelerator mesh default — is bit-identical to the host scorer."""
+    from merfin_tpu.parallel.sharded import ShardedLookup, make_mesh
+    from merfin_tpu.variants.device_score import ShardedScorer
+
+    mesh = make_mesh(8)
+    rs = ShardedLookup.build(world["read_db"], mesh, fmt="rec")
+    As = ShardedLookup.build(world["asm_db"], mesh, fmt="rec")
+    rl = build_lookup(world["read_db"])
+    al = build_lookup(world["asm_db"])
+
+    vcf = VcfFile(world["vcf"], log=io.StringIO())
+    vcf.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+    host_out = tmp_path / "h_rec"
+    run_variants("polish", SeqFile(world["fasta"]), vcf, K,
+                 rl.lookup_np, al.lookup_np, peak=30.0, prob_table=None,
+                 out_name=str(host_out), log=io.StringIO())
+
+    vcf2 = VcfFile(world["vcf"], log=io.StringIO())
+    vcf2.merge_clusters(K, comb=15, nosplit=False, log=io.StringIO())
+    scorer = ShardedScorer(mesh, rs, As, K, 30.0, None)
+    sh_out = tmp_path / "s_rec"
+    run_variants("polish", SeqFile(world["fasta"]), vcf2, K,
+                 rs.lookup_np, As.lookup_np, peak=30.0, prob_table=None,
+                 out_name=str(sh_out), log=io.StringIO(), scorer=scorer)
+
+    a = (tmp_path / "h_rec.polish.vcf").read_bytes()
+    b = (tmp_path / "s_rec.polish.vcf").read_bytes()
+    assert a == b
