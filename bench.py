@@ -30,7 +30,10 @@ import time
 import numpy as np
 
 
-def _bench_join(keys, vals, k, q_np, iters=10):
+def _bench_join(keys, vals, k, q_np, iters=10, rounds=3):
+    """Best-of-``rounds`` per kernel with min/max spread: a single timed
+    run cannot separate real regressions from tunnel load on this dev
+    link (VERDICT r3 item 3)."""
     import jax
     import jax.numpy as jnp
 
@@ -38,43 +41,56 @@ def _bench_join(keys, vals, k, q_np, iters=10):
     from merfin_tpu.ops.join_kernel4 import SortJoinTableV4
 
     q = jnp.asarray(q_np)
-    rates = {}
+    rates, spread = {}, {}
     for name, cls in (("v1", SortJoinTable), ("v4", SortJoinTableV4)):
         sj = cls(keys, vals, k)
         tree = sj.tree()   # table rides as a jit ARGUMENT (program reuse)
         impl = jax.jit(lambda tr, qq, s=sj: s.lookup_sorted_with(tr, jnp.sort(qq)))
         np.asarray(impl(tree, q))   # warmup + compile (forces remote fetch)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = impl(tree, q)
-        _ = np.asarray(out)
-        rates[name] = q_np.size * iters / (time.perf_counter() - t0)
-    return rates
+        rs = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = impl(tree, q)
+            _ = np.asarray(out)
+            rs.append(q_np.size * iters / (time.perf_counter() - t0))
+        rates[name] = max(rs)
+        spread[name] = (min(rs), max(rs))
+    return rates, spread
 
 
-def _bench_hist(keys, read_vals, asm_vals, k):
+def _best_of(fn, rounds=3):
+    """max / (min, max) of ``rounds`` calls of a rate-returning fn."""
+    rs = [fn() for _ in range(rounds)]
+    return max(rs), (min(rs), max(rs))
+
+
+def _bench_hist(keys, read_vals, asm_vals, k, n_bases=1 << 25):
     """End-to-end -hist engine rate (bases/s) on a synthetic chunk set,
     in the CLI's production configuration (sorted-join auto-enabled on
-    accelerators for odd k, cli.py:make_engine)."""
+    accelerators for any k since r3, cli.py:make_engine).  Returns a
+    closure so the caller can best-of-N it."""
     import jax
 
     from merfin_tpu.modes.engine import KstarEngine
     from merfin_tpu.table.lookup import DeviceLookup
 
-    sortjoin = jax.default_backend() != "cpu" and k % 2 == 1
+    sortjoin = jax.default_backend() != "cpu"
     engine = KstarEngine(DeviceLookup(keys, read_vals, k),
                          DeviceLookup(keys, asm_vals, k),
                          k, peak=12.0, chunk=1 << 19, sortjoin=sortjoin)
     rng = np.random.default_rng(3)
-    # 4 pipelined dispatches (batch 16 x chunk 2^19 windows each): the
-    # rate reflects steady-state throughput with transfer/compute
-    # overlap, not a single dispatch's tunnel round trip
-    n_bases = 1 << 25
+    # pipelined dispatches: the rate reflects steady-state throughput
+    # with transfer/compute overlap, not one dispatch's tunnel round trip
     codes = rng.integers(0, 4, size=n_bases).astype(np.uint8)
     engine.hist_sequence(codes[: (1 << 21) + k])   # warmup/compile
-    t0 = time.perf_counter()
-    engine.hist_sequence(codes)
-    return n_bases / (time.perf_counter() - t0)
+
+    def run():
+        t0 = time.perf_counter()
+        engine.hist_sequence(codes)
+        return n_bases / (time.perf_counter() - t0)
+
+    return run
 
 
 def _bench_completeness(keys, read_vals, asm_vals, k):
@@ -92,14 +108,18 @@ def _bench_completeness(keys, read_vals, asm_vals, k):
     with tempfile.TemporaryDirectory() as td:
         rdb = KmerDB.create(os.path.join(td, "r"), k, keys, read_vals)
         adb = KmerDB.create(os.path.join(td, "a"), k, keys, asm_vals)
-        table = build_asm_table(adb, k, 1 << 22)
+        table = build_asm_table(adb, k, 1 << 23)
         run_completeness(rdb, adb, peak=12.0, log=io.StringIO(),
                          asm_table=table)  # warm
-        t0 = time.perf_counter()
-        run_completeness(rdb, adb, peak=12.0, log=io.StringIO(),
-                         asm_table=table)
-        dt = time.perf_counter() - t0
-    return keys.size / dt
+
+        def run():
+            t0 = time.perf_counter()
+            run_completeness(rdb, adb, peak=12.0, log=io.StringIO(),
+                             asm_table=table)
+            return keys.size / (time.perf_counter() - t0)
+
+        rate, spread = _best_of(run)
+    return rate, spread
 
 
 def _bench_count(k=21, n_bases=1 << 23):
@@ -318,7 +338,7 @@ def main() -> None:
     q_np = np.concatenate([keys[hit_idx], misses])
     rng.shuffle(q_np)
 
-    rates = _bench_join(keys, vals, k, q_np)
+    rates, spread = _bench_join(keys, vals, k, q_np)
 
     # CPU baseline: single-threaded numpy searchsorted (reference-style probe)
     cpu_n = 1 << 20
@@ -330,14 +350,30 @@ def main() -> None:
     _ = np.where(hit, vals[idx], 0)
     cpu_rate = cpu_n / (time.perf_counter() - t0)
 
+    def mm(pair):
+        return [round(pair[0]), round(pair[1])]
+
     extra = {
         "join_v1_lookups_per_sec": round(rates["v1"]),
         "join_v4_lookups_per_sec": round(rates["v4"]),
+        "join_v1_spread": mm(spread["v1"]),
+        "join_v4_spread": mm(spread["v4"]),
         "cpu_lookups_per_sec": round(cpu_rate),
     }
     if os.environ.get("BENCH_SKIP_MODES") != "1":
-        extra["hist_bases_per_sec"] = round(
-            _bench_hist(keys, vals, asm_vals, k))
+        hist_rate, hist_spread = _best_of(_bench_hist(keys, vals, asm_vals, k))
+        extra["hist_bases_per_sec"] = round(hist_rate)
+        extra["hist_spread"] = mm(hist_spread)
+        # even-k datapoint (VERDICT r3 item 7): even-k sortjoin carries
+        # the palindrome multiplier through the device sort
+        k_even = 20
+        rng_e = np.random.default_rng(4)
+        keys_e = np.unique(rng_e.integers(
+            0, 1 << (2 * k_even), size=n_table).astype(np.uint64))
+        vals_e = rng_e.integers(1, 1000, size=keys_e.size).astype(np.uint32)
+        asm_e = rng_e.integers(1, 3, size=keys_e.size).astype(np.uint32)
+        extra["hist_bases_per_sec_even_k"] = round(_bench_hist(
+            keys_e, vals_e, asm_e, k_even, n_bases=1 << 24)())
         extra["variant_clusters_per_sec"] = round(_bench_variants(), 1)
         hv_dev, hv_host, hv_ident = _bench_variants_heavy()
         extra["variant_clusters_per_sec_heavy"] = round(hv_dev, 2)
@@ -345,8 +381,9 @@ def main() -> None:
         extra["variant_heavy_dev_vs_host"] = round(hv_dev / hv_host, 2)
         extra["variant_heavy_outputs_identical"] = hv_ident
         extra["count_bases_per_sec"] = round(_bench_count())
-        extra["completeness_kmers_per_sec"] = round(
-            _bench_completeness(keys, vals, asm_vals, k))
+        compl_rate, compl_spread = _bench_completeness(keys, vals, asm_vals, k)
+        extra["completeness_kmers_per_sec"] = round(compl_rate)
+        extra["completeness_spread"] = mm(compl_spread)
 
     best = max(rates["v1"], rates["v4"])
     print(json.dumps({

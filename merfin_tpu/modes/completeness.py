@@ -47,6 +47,62 @@ def build_asm_table(asm_db: KmerDB, k: int, block: int):
     return build_sortjoin_table(keys, vals, k, block, prefer="v4")
 
 
+_RED = 512   # two-level reduction row width
+
+
+def _block_stats_jit(table):
+    """The jitted block program, cached ON the table instance: a fresh
+    jax.jit wrapper per run_completeness call would re-load the
+    executable each run (~3 s on the axon tunnel, docs/PERF.md r4);
+    reusing the table reuses the program."""
+    fn = getattr(table, "_compl_block_stats", None)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def block_stats(tr, bounds, q_keys, q_readk):
+        """One read-stream block -> per-slice (total readK, undr copies)
+        as int64 [64] pairs (f64 on the exotic-value-map fallback).
+
+        q_keys sorted ascending (padding = u64::MAX, matching no k-mer
+        and landing past bounds[64]); q_readk padding 0, so padding
+        contributes nothing on either output.  Per-slice split: row sums
+        [B/512] + a tiny cumsum + 65 boundary-row prefix corrections —
+        the full-block f64 cumsum this replaces cost 322 ms per 4M
+        block, more than the join."""
+        asm_v = table.lookup_sorted_with(tr, q_keys)
+        asm_c = asm_v.astype(q_readk.dtype)
+        zero = jnp.zeros((), q_readk.dtype)
+        # u32 path: readk > asm so the subtraction never underflows;
+        # f64 fallback path computes the same expression in floats
+        und = jnp.where(q_readk > asm_c, q_readk - asm_c, zero)
+
+        def per_slice(x):
+            acc = (jnp.int64 if jnp.issubdtype(x.dtype, jnp.integer)
+                   else jnp.float64)
+            x2 = x.reshape(-1, _RED)
+            rows = x2.shape[0]
+            crow = jnp.pad(jnp.cumsum(
+                jnp.sum(x2, axis=1, dtype=acc)), (1, 0))
+            bpos = jnp.searchsorted(q_keys, bounds).astype(jnp.int32)
+            r_idx = jnp.minimum(bpos // _RED, rows - 1)
+            c_idx = bpos - r_idx * _RED   # == _RED when bpos hits the end
+            brow = x2[r_idx]              # [65, _RED] gather
+            in_row = jnp.sum(jnp.where(
+                jnp.arange(_RED, dtype=jnp.int32)[None, :] < c_idx[:, None],
+                brow.astype(acc), jnp.zeros((), acc)), axis=1)
+            prefix = crow[r_idx] + in_row
+            return prefix[1:] - prefix[:-1]
+
+        return per_slice(q_readk), per_slice(und)
+
+    table._compl_block_stats = block_stats
+    return block_stats
+
+
 def _slice_bounds(k: int) -> np.ndarray:
     """The 65 prefix-boundary keys: slice i holds bounds[i] <= key <
     bounds[i+1] (io/mkdb.py's top-6-bit partition)."""
@@ -60,7 +116,7 @@ def run_completeness(
     peak: float,
     prob_table: ProbTable | None = None,
     log=sys.stderr,
-    block: int = 1 << 22,
+    block: int = 1 << 23,
     mesh=None,
     asm_table=None,
 ):
@@ -108,44 +164,7 @@ def run_completeness(
     rk_host = vmap.read_k_host
     int_ok = bool(np.isfinite(rk_host).all()) and float(rk_host.max()) < 2**32
     rk_map32 = rk_host.astype(np.uint32) if int_ok else None
-    RED = 512   # two-level reduction row width
-
-    @jax.jit
-    def block_stats(tr, bounds, q_keys, q_readk):
-        """One read-stream block -> per-slice (total readK, undr copies)
-        as int64 [64] pairs.
-
-        q_keys sorted ascending (padding = u64::MAX, matching no k-mer
-        and landing past bounds[64]); q_readk padding 0, so padding
-        contributes nothing on either output.  Per-slice split: row sums
-        [B/512] + a tiny cumsum + 65 boundary-row prefix corrections —
-        the full-block f64 cumsum this replaces cost 322 ms per 4M
-        block, more than the join."""
-        asm_v = table.lookup_sorted_with(tr, q_keys)
-        asm_c = asm_v.astype(q_readk.dtype)
-        zero = jnp.zeros((), q_readk.dtype)
-        # u32 path: readk > asm so the subtraction never underflows;
-        # f64 fallback path computes the same expression in floats
-        und = jnp.where(q_readk > asm_c, q_readk - asm_c, zero)
-
-        def per_slice(x):
-            acc = (jnp.int64 if jnp.issubdtype(x.dtype, jnp.integer)
-                   else jnp.float64)
-            x2 = x.reshape(-1, RED)
-            rows = x2.shape[0]
-            crow = jnp.pad(jnp.cumsum(
-                jnp.sum(x2, axis=1, dtype=acc)), (1, 0))
-            bpos = jnp.searchsorted(q_keys, bounds).astype(jnp.int32)
-            r_idx = jnp.minimum(bpos // RED, rows - 1)
-            c_idx = bpos - r_idx * RED   # == RED when bpos hits the end
-            brow = x2[r_idx]             # [65, RED] gather
-            in_row = jnp.sum(jnp.where(
-                jnp.arange(RED, dtype=jnp.int32)[None, :] < c_idx[:, None],
-                brow.astype(acc), jnp.zeros((), acc)), axis=1)
-            prefix = crow[r_idx] + in_row
-            return prefix[1:] - prefix[:-1]
-
-        return per_slice(q_readk), per_slice(und)
+    block_stats = _block_stats_jit(table)
 
     compl_total = np.zeros(SLICES, dtype=np.float64)
     compl_undrc = np.zeros(SLICES, dtype=np.float64)
@@ -168,30 +187,40 @@ def run_completeness(
         compl_undrc[:] += np.asarray(u)
 
     def host_readk(rv: np.ndarray) -> np.ndarray:
-        idx = np.minimum(rv.astype(np.int64), vmap.vcap)
+        idx = np.minimum(rv, np.uint32(min(vmap.vcap, 2**32 - 1)))
         if int_ok:
             return rk_map32[idx]
-        return rk_host[idx]   # exotic value maps (e.g. peak 0): exact
-        # host f64 readK, device sums stay f64
+        return rk_host[idx.astype(np.int64)]   # exotic value maps
+        # (e.g. peak 0): exact host f64 readK, device sums stay f64
+
+    def blocks():
+        """Pack + START the host->device transfer of each block.  Runs
+        on the prefetch thread: explicit jax.device_put (127 ms for an
+        8.4M-row block) — passing numpy args straight into the jit costs
+        ~3 s per dispatch on this backend (docs/PERF.md r4)."""
+        for a, b in ranges:
+            lo = a
+            while lo < b:
+                rem = b - lo
+                # occupancy-sized: full blocks stream at `block`, the
+                # tail shrinks to the next pow2 (>= QB) — a handful of
+                # compiled shapes, bounded padding waste
+                bs = min(block, max(QB, 1 << (rem - 1).bit_length()))
+                rk = np.full(bs, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+                n = min(rem, bs)
+                rk[:n] = read_db.keys[lo: lo + n]
+                qk = np.zeros(bs, dtype=np.uint32 if int_ok else np.float64)
+                qk[:n] = host_readk(np.asarray(read_db.vals[lo: lo + n]))
+                yield jax.device_put(rk), jax.device_put(qk)
+                lo += n
+
+    from merfin_tpu.utils.prefetch import prefetch_iter
 
     inflight: deque = deque()
-    for a, b in ranges:
-        lo = a
-        while lo < b:
-            rem = b - lo
-            # occupancy-sized: full blocks stream at `block`, the tail
-            # shrinks to the next pow2 (>= QB) — a handful of compiled
-            # shapes, bounded padding waste
-            bs = min(block, max(QB, 1 << (rem - 1).bit_length()))
-            rk = np.full(bs, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
-            n = min(rem, bs)
-            rk[:n] = read_db.keys[lo: lo + n]
-            qk = np.zeros(bs, dtype=np.uint32 if int_ok else np.float64)
-            qk[:n] = host_readk(np.asarray(read_db.vals[lo: lo + n]))
-            inflight.append(block_stats(tree, bounds_dev, rk, qk))
-            if len(inflight) > _MAX_INFLIGHT:
-                fetch(inflight.popleft())
-            lo += n
+    for rk_d, qk_d in prefetch_iter(blocks(), depth=2):
+        inflight.append(block_stats(tree, bounds_dev, rk_d, qk_d))
+        if len(inflight) > _MAX_INFLIGHT:
+            fetch(inflight.popleft())
     while inflight:
         fetch(inflight.popleft())
 
