@@ -105,6 +105,11 @@ def _bench_completeness(keys, read_vals, asm_vals, k):
     from merfin_tpu.io.mkdb import KmerDB
     from merfin_tpu.modes.completeness import build_asm_table, run_completeness
 
+    import jax
+
+    from merfin_tpu.modes.completeness import (_block_stats_jit,
+                                               _slice_bounds)
+
     with tempfile.TemporaryDirectory() as td:
         rdb = KmerDB.create(os.path.join(td, "r"), k, keys, read_vals)
         adb = KmerDB.create(os.path.join(td, "a"), k, keys, asm_vals)
@@ -119,7 +124,36 @@ def _bench_completeness(keys, read_vals, asm_vals, k):
             return keys.size / (time.perf_counter() - t0)
 
         rate, spread = _best_of(run)
-    return rate, spread
+
+        # resident-stream rate: the same block program on device-resident
+        # inputs — what a locally-attached chip sees.  The e2e number
+        # above is wire-bound on this dev tunnel: host->device transfers
+        # run at ~40 MB/s once any program has dispatched (docs/PERF.md
+        # r4), a ~2500x artifact vs production PCIe/DMA.
+        import jax.numpy as jnp
+
+        B = 1 << 23
+        n = keys.size
+        k_lo = np.full(B, 0xFFFFFFFF, np.uint32)
+        k_hi = np.full(B, 0xFFFF, np.uint16)
+        k_lo[:n] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        k_hi[:n] = (keys >> np.uint64(32)).astype(np.uint16)
+        qk = np.zeros(B, np.uint8)
+        qk[:n] = np.minimum(np.maximum(read_vals // 12, 1), 255)  # readK-like
+        lo_d, hi_d, qk_d = map(jax.device_put, (k_lo, k_hi, qk))
+        bounds_dev = jnp.asarray(_slice_bounds(k))
+        bs_fn = _block_stats_jit(table)
+        r = bs_fn(table.tree(), bounds_dev, lo_d, hi_d, qk_d)
+        np.asarray(r[0])
+
+        def run_res():
+            t0 = time.perf_counter()
+            r = bs_fn(table.tree(), bounds_dev, lo_d, hi_d, qk_d)
+            np.asarray(r[0]), np.asarray(r[1])
+            return n / (time.perf_counter() - t0)
+
+        resident, _ = _best_of(run_res)
+    return rate, spread, resident
 
 
 def _bench_count(k=21, n_bases=1 << 23):
@@ -381,9 +415,11 @@ def main() -> None:
         extra["variant_heavy_dev_vs_host"] = round(hv_dev / hv_host, 2)
         extra["variant_heavy_outputs_identical"] = hv_ident
         extra["count_bases_per_sec"] = round(_bench_count())
-        compl_rate, compl_spread = _bench_completeness(keys, vals, asm_vals, k)
+        compl_rate, compl_spread, compl_res = _bench_completeness(
+            keys, vals, asm_vals, k)
         extra["completeness_kmers_per_sec"] = round(compl_rate)
         extra["completeness_spread"] = mm(compl_spread)
+        extra["completeness_kmers_per_sec_resident"] = round(compl_res)
 
     best = max(rates["v1"], rates["v4"])
     print(json.dumps({

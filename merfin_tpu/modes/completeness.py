@@ -63,22 +63,33 @@ def _block_stats_jit(table):
     import jax.numpy as jnp
 
     @jax.jit
-    def block_stats(tr, bounds, q_keys, q_readk):
+    def block_stats(tr, bounds, q_lo, q_hi, q_readk):
         """One read-stream block -> per-slice (total readK, undr copies)
         as int64 [64] pairs (f64 on the exotic-value-map fallback).
 
-        q_keys sorted ascending (padding = u64::MAX, matching no k-mer
-        and landing past bounds[64]); q_readk padding 0, so padding
-        contributes nothing on either output.  Per-slice split: row sums
-        [B/512] + a tiny cumsum + 65 boundary-row prefix corrections —
-        the full-block f64 cumsum this replaces cost 322 ms per 4M
-        block, more than the join."""
+        Keys arrive as (lo u32, hi u8/u16/u32) planes — 5-8 B/key
+        instead of 8 — and reconstruct with one shift+or; q_readk ships
+        in the narrowest dtype covering the value map (u8 for typical
+        peaks).  Post-first-dispatch host->device transfers crawl at
+        ~30-60 MB/s on this dev tunnel (docs/PERF.md r4), so wire bytes
+        are the completeness wall; padding keys are u64::MAX (sorted,
+        match nothing, land past bounds[64]) and padding readK is 0, so
+        padding contributes nothing.  Per-slice split: row sums [B/512]
+        + a tiny cumsum + 65 boundary-row prefix corrections — the
+        full-block f64 cumsum this replaces cost 322 ms per 4M block,
+        more than the join."""
+        q_keys = (q_hi.astype(jnp.uint64) << jnp.uint64(32)) | \
+            q_lo.astype(jnp.uint64)
         asm_v = table.lookup_sorted_with(tr, q_keys)
-        asm_c = asm_v.astype(q_readk.dtype)
-        zero = jnp.zeros((), q_readk.dtype)
-        # u32 path: readk > asm so the subtraction never underflows;
-        # f64 fallback path computes the same expression in floats
-        und = jnp.where(q_readk > asm_c, q_readk - asm_c, zero)
+        if jnp.issubdtype(q_readk.dtype, jnp.integer):
+            rk_c = q_readk.astype(jnp.uint32)   # narrow wire dtype -> u32
+            asm_c = asm_v
+        else:
+            rk_c = q_readk                       # exotic-map f64 fallback
+            asm_c = asm_v.astype(jnp.float64)
+        zero = jnp.zeros((), rk_c.dtype)
+        # integer path: readk > asm so the subtraction never underflows
+        und = jnp.where(rk_c > asm_c, rk_c - asm_c, zero)
 
         def per_slice(x):
             acc = (jnp.int64 if jnp.issubdtype(x.dtype, jnp.integer)
@@ -163,7 +174,19 @@ def run_completeness(
     # emulated-f64 TPU by construction.
     rk_host = vmap.read_k_host
     int_ok = bool(np.isfinite(rk_host).all()) and float(rk_host.max()) < 2**32
-    rk_map32 = rk_host.astype(np.uint32) if int_ok else None
+    if int_ok:
+        rk_max = int(rk_host.max())
+        rk_dtype = (np.uint8 if rk_max < 2**8
+                    else np.uint16 if rk_max < 2**16 else np.uint32)
+        rk_map32 = rk_host.astype(rk_dtype)
+    else:
+        rk_dtype = np.float64
+        rk_map32 = None
+    # hi-plane dtype: enough for bits above 32 (u64::MAX padding needs
+    # all-ones representable, hence the unsigned ceil to 8/16/32)
+    hi_bits = max(1, 2 * read_db.k - 32)
+    hi_dtype = (np.uint8 if hi_bits <= 8
+                else np.uint16 if hi_bits <= 16 else np.uint32)
     block_stats = _block_stats_jit(table)
 
     compl_total = np.zeros(SLICES, dtype=np.float64)
@@ -195,9 +218,10 @@ def run_completeness(
 
     def blocks():
         """Pack + START the host->device transfer of each block.  Runs
-        on the prefetch thread: explicit jax.device_put (127 ms for an
-        8.4M-row block) — passing numpy args straight into the jit costs
-        ~3 s per dispatch on this backend (docs/PERF.md r4)."""
+        on the prefetch thread: explicit jax.device_put — passing numpy
+        args straight into the jit costs seconds per dispatch on this
+        backend, and keys ship as (lo u32, hi u8/u16) planes + narrow
+        readK to cut wire bytes ~2x (docs/PERF.md r4)."""
         for a, b in ranges:
             lo = a
             while lo < b:
@@ -206,19 +230,26 @@ def run_completeness(
                 # tail shrinks to the next pow2 (>= QB) — a handful of
                 # compiled shapes, bounded padding waste
                 bs = min(block, max(QB, 1 << (rem - 1).bit_length()))
-                rk = np.full(bs, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
                 n = min(rem, bs)
-                rk[:n] = read_db.keys[lo: lo + n]
-                qk = np.zeros(bs, dtype=np.uint32 if int_ok else np.float64)
+                kk = np.asarray(read_db.keys[lo: lo + n])
+                # padding = (hi-plane max << 32 | u32 max): sorted past
+                # every real key (< 2^2k <= 2^62), matches nothing,
+                # lands past bounds[64]
+                k_lo = np.full(bs, 0xFFFFFFFF, dtype=np.uint32)
+                k_hi = np.full(bs, np.iinfo(hi_dtype).max, dtype=hi_dtype)
+                k_lo[:n] = (kk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                k_hi[:n] = (kk >> np.uint64(32)).astype(hi_dtype)
+                qk = np.zeros(bs, dtype=rk_dtype)
                 qk[:n] = host_readk(np.asarray(read_db.vals[lo: lo + n]))
-                yield jax.device_put(rk), jax.device_put(qk)
+                yield (jax.device_put(k_lo), jax.device_put(k_hi),
+                       jax.device_put(qk))
                 lo += n
 
     from merfin_tpu.utils.prefetch import prefetch_iter
 
     inflight: deque = deque()
-    for rk_d, qk_d in prefetch_iter(blocks(), depth=2):
-        inflight.append(block_stats(tree, bounds_dev, rk_d, qk_d))
+    for lo_d, hi_d, qk_d in prefetch_iter(blocks(), depth=2):
+        inflight.append(block_stats(tree, bounds_dev, lo_d, hi_d, qk_d))
         if len(inflight) > _MAX_INFLIGHT:
             fetch(inflight.popleft())
     while inflight:

@@ -71,6 +71,28 @@ class ValueMap:
 
         return jnp.asarray(self.read_k_host), jnp.asarray(self.prob_host)
 
+    def int_scorer_ok(self) -> bool:
+        """True when the fused scorers can run their integer fast path:
+        no prob table (prob == 1 everywhere), no overflow fallback, and
+        every readK fits int32.  Then missing/K-delta math is pure
+        integer arithmetic — EXACTLY equal to the host scorer's f64
+        sums of the same integers, and ~an order of magnitude cheaper
+        than emulated-f64 on TPU (docs/PERF.md r4)."""
+        return (not self.has_prob and self.never_overflows
+                and bool(np.isfinite(self.read_k_host).all())
+                and float(self.read_k_host.max()) < 2**31)
+
+    def device_arrays_scorer(self):
+        """Scorer flavor of device_arrays: (readK i32, prob f64) when
+        the integer fast path applies (consumers branch on the dtype at
+        trace time), else the plain f64 pair."""
+        import jax.numpy as jnp
+
+        if self.int_scorer_ok():
+            return (jnp.asarray(self.read_k_host.astype(np.int32)),
+                    jnp.asarray(self.prob_host))
+        return self.device_arrays()
+
     def lookup_jnp(self, seq_value, arrays=None):
         """Device getK via gather: (readK, prob, overflow_count).
 

@@ -68,9 +68,26 @@ def _planes_from_bits(adj_bits, mark_bits, n, need_start: bool):
 
 def _stream_math(value_map, vm, read_v, asm_v, valid, adjust, path_start):
     """getK + K*/delta math on the flat window axis (device mirror of
-    score._flat_math)."""
+    score._flat_math).
+
+    Integer fast path (vm[0] is an i32 readK map — see
+    ValueMap.device_arrays_scorer): missing and the delta-multiplicity
+    difference |readK-asmK| - |readK-asmK'| are pure i64 arithmetic,
+    exactly the host scorer's values (its f64 holds the same integers),
+    and skip the emulated-f64 elementwise chain entirely."""
     import jax
     import jax.numpy as jnp
+
+    rk_map = vm[0]
+    if jnp.issubdtype(rk_map.dtype, jnp.integer):
+        idx = jnp.minimum(read_v.astype(jnp.int64), value_map.vcap)
+        read_i = jnp.where(valid, rk_map[idx].astype(jnp.int64),
+                           jnp.int64(0))
+        asm_i = jnp.where(valid, asm_v.astype(jnp.int64), jnp.int64(0))
+        missing = read_i == 0
+        o_delta = jnp.abs(read_i - asm_i)
+        n_delta = jnp.abs(read_i - asm_i - adjust.astype(jnp.int64))
+        return missing, o_delta - n_delta, jnp.int64(0)
 
     read_k, prob, overflow = value_map.lookup_jnp(read_v, vm)
     asm_k = asm_v.astype(jnp.float64)
@@ -98,19 +115,44 @@ def _stream_math(value_map, vm, read_v, asm_v, valid, adjust, path_start):
     return missing, o_delta - n_delta, overflow
 
 
+_RED = 512   # row width of the two-level prefix reduction
+
+
 def _boundary_reduce(missing, dkstr, b_start, b_end):
-    """Per-path (missing count, dkstr sum) as cumsum differences at the
+    """Per-path (missing count, dkstr sum) as prefix differences at the
     path boundaries — scatter-free (TPU scatter costs ~10x a scan) and
-    EXACTLY the host scorer's slice sums: num_m is an integer prefix
-    difference, and without a -prob table every dkstr value is integer-
-    valued f64 (|readK-asmK| differences), so the prefix difference is
-    exact there too.  With a prob table totdk may differ from a direct
-    slice sum in final ulps (it is a device sum either way)."""
+    EXACTLY the host scorer's slice sums on the integer path: num_m is
+    an integer prefix difference, and integer dkstr (no -prob table)
+    sums exactly in any association.  With a prob table totdk may
+    differ from a direct slice sum in final ulps (device f64 either
+    way).
+
+    Prefixes are two-level: a cumsum WITHIN 512-wide rows (vectorized
+    across rows, scan depth 9) + a tiny row-total cumsum + 2 small
+    gathers per boundary — a full-stream f64 cumsum costs ~322 ms per
+    4M windows on this chip, more than the joins (docs/PERF.md r4)."""
     import jax.numpy as jnp
 
-    cs_m = jnp.pad(jnp.cumsum(missing.astype(jnp.int32)), (1, 0))
-    cs_d = jnp.pad(jnp.cumsum(dkstr), (1, 0))
-    return cs_m[b_end] - cs_m[b_start], cs_d[b_end] - cs_d[b_start]
+    def prefix_fn(x, acc_dtype):
+        x2 = x.reshape(-1, _RED).astype(acc_dtype)
+        rcs = jnp.cumsum(x2, axis=1)
+        crow = jnp.pad(jnp.cumsum(rcs[:, -1]), (1, 0))
+        rows = x2.shape[0]
+
+        def at(pos):
+            r = jnp.minimum(pos // _RED, rows - 1)
+            c = pos - r * _RED   # == _RED at the clamped stream end
+            within = jnp.where(c > 0, rcs[r, jnp.maximum(c - 1, 0)],
+                               jnp.zeros((), acc_dtype))
+            return crow[r] + within
+
+        return at
+
+    d_acc = (jnp.int64 if jnp.issubdtype(dkstr.dtype, jnp.integer)
+             else jnp.float64)
+    m_at = prefix_fn(missing, jnp.int32)
+    d_at = prefix_fn(dkstr, d_acc)
+    return m_at(b_end) - m_at(b_start), d_at(b_end) - d_at(b_start)
 
 
 def _pack_inputs(codes: np.ndarray, adjust: np.ndarray,
@@ -157,11 +199,18 @@ class _FusedScorer:
     MAX_WINDOWS = 1 << 21
 
     def _span_dispatch(self, codes, adjust, starts, nis):
-        """Pack + transfer + ASYNC dispatch of one span (no fetch)."""
+        """Pack + transfer + ASYNC dispatch of one span (no fetch).
+        Inputs cross the link via explicit device_put: the jit's
+        numpy-arg staging path costs far more than the transfer itself
+        on this backend (docs/PERF.md r4)."""
+        import jax
+
         p, n, planes, vbits, adj_bits, mark_bits, b_start, b_end = \
             _pack_inputs(codes, adjust, starts, nis, self.k)
-        return nis.shape[0], self._dispatch(p, planes, vbits, adj_bits,
-                                            mark_bits, b_start, b_end)
+        args = [planes, vbits, adj_bits, mark_bits, b_start, b_end]
+        if jax.default_backend() != "cpu":
+            args = [jax.device_put(a) for a in args]
+        return nis.shape[0], self._dispatch(p, *args)
 
     def _span_fetch(self, handle):
         P, (num_m, totdk, overflow) = handle
@@ -307,7 +356,7 @@ class DeviceScorer(_FusedScorer):
             trees = (self.read_lookup.tree(), self.asm_lookup.tree())
         return self._impl(
             p, *trees,
-            self.value_map.device_arrays(), planes, vbits,
+            self.value_map.device_arrays_scorer(), planes, vbits,
             adj_bits, mark_bits, b_start, b_end)
 
 
@@ -375,8 +424,7 @@ class ShardedScorer(_FusedScorer):
             num_m, totdk = _boundary_reduce(missing, dkstr, b_start, b_end)
             return num_m, totdk, overflow
 
-        rk_dev = jnp.asarray(value_map.read_k_host)
-        pr_dev = jnp.asarray(value_map.prob_host)
+        rk_dev, pr_dev = value_map.device_arrays_scorer()
         jstep = jax.jit(step)
 
         def run(planes, vbits, adj_bits, mark_bits, b_start, b_end):
