@@ -367,3 +367,184 @@ def test_deletion_path_shorter_than_k_wins_by_size_t_rule(tmp_path):
     nm = [refmodel.score_path(s, g, i, l, K, rd, ad, 30.0)[0]
           for s, g, i, l in paths]
     assert nm == [4, 0]
+
+
+# ---------------------------------------------------------------------
+# -completeness slice accounting: asm-only k-mers are SKIPPED
+# (merfin-completeness.C:100-109), read-only contribute readK, ties at
+# v/peak = x.5 round half-away.  All totals hand-computed.
+# ---------------------------------------------------------------------
+
+def _pack5(s: str) -> int:
+    """Independent 2-bit packing (A=0 C=1 G=2 T=3, first base most
+    significant) — deliberately re-derived, not imported."""
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    v = 0
+    for ch in s:
+        v = (v << 2) | code[ch]
+    return v
+
+
+def test_completeness_asm_only_skip_hand_computed(tmp_path):
+    import re
+
+    from merfin_tpu.modes.completeness import run_completeness
+
+    k = 5
+    both1 = _canon("ACGTA")    # read 5, asm 1: readK round(2.5)=3, undr 2
+    both2 = _canon("GGATC")    # read 3, asm 4: readK round(1.5)=2, undr 0
+    ronly = _canon("TTACG")    # read 7 only:   readK round(3.5)=4, undr 4
+    low = _canon("CATAG")      # read 1, asm 2: v<peak -> readK 1, undr 0
+    aonly = _canon("GCGCA")    # asm 9 ONLY: skipped entirely
+    kmers = [both1, both2, ronly, low, aonly]
+    assert len(set(kmers)) == 5
+
+    read_db = db_from_dict({both1: 5, both2: 3, ronly: 7, low: 1},
+                           k, str(tmp_path / "r"))
+    asm_db = db_from_dict({both1: 1, both2: 4, low: 2, aonly: 9},
+                          k, str(tmp_path / "a"))
+
+    log = io.StringIO()
+    res = run_completeness(read_db, asm_db, peak=2.0, log=log)
+    # hand arithmetic: total = 3+2+4+1 = 10; undrc = 2+0+4+0 = 6
+    assert res["total"] == 10.0
+    assert res["undrc"] == 6.0
+    assert res["completeness"] == pytest.approx(1.0 - 6.0 / 10.0)
+
+    # per-slice lines: every read k-mer lands in slice key >> (2k-6);
+    # the asm-only k-mer contributes to NO slice
+    shift = 2 * k - 6
+    per_slice = {}
+    for km, t, u in ((both1, 3, 2), (both2, 2, 0), (ronly, 4, 4), (low, 1, 0)):
+        s = _pack5(km) >> shift
+        a, b = per_slice.get(s, (0, 0))
+        per_slice[s] = (a + t, b + u)
+    lines = {int(m.group(1)): (float(m.group(2)), float(m.group(3)))
+             for m in re.finditer(
+                 r"thread\s+(\d+) total\s+([\d.]+) underc\s+([\d.]+)",
+                 log.getvalue())}
+    for s, (t, u) in per_slice.items():
+        assert lines[s] == (t, u), (s, lines[s], (t, u))
+    aslice = _pack5(aonly) >> shift
+    if aslice not in per_slice:      # no read k-mer shares its slice
+        assert lines[aslice] == (0.0, 0.0)
+
+
+# ---------------------------------------------------------------------
+# BinOverflow mid-group retry on the PACKED path: a small-scaffold group
+# whose middle sequence bins past nbins must grow-and-retry the whole
+# group exactly once (increaseArray semantics, merfin-histogram.C:105-124)
+# without double-counting.
+# ---------------------------------------------------------------------
+
+def test_bin_overflow_mid_group_retry(tmp_path):
+    k = 5
+    rng = random.Random(77)
+    quiet1 = random_dna(rng, 40)
+    quiet2 = random_dna(rng, 40)
+    hot = "ACGTA" + "T" * 0    # one k-mer; asm count 8 vs readK 1
+
+    counts_r = refmodel.count_canonical([quiet1, quiet2, hot], k)
+    counts_a = dict(counts_r)
+    counts_a[_canon("ACGTA")] = 8      # ratio (8-1+0.1)/0.2 -> bin 35
+    read_db = db_from_dict(counts_r, k, str(tmp_path / "r"))
+    asm_db = db_from_dict(counts_a, k, str(tmp_path / "a"))
+
+    fasta = tmp_path / "s.fasta"
+    fasta.write_text(f">s1\n{quiet1}\n>hot\n{hot}\n>s2\n{quiet2}\n")
+
+    def run(nbins):
+        eng = KstarEngine(build_lookup(read_db), build_lookup(asm_db), k,
+                          peak=1.0, chunk=64, batch=2)
+        eng.nbins = nbins
+        eng._make_jits()
+        log = io.StringIO()
+        res = run_hist(eng, SeqFile(str(fasta)),
+                       str(tmp_path / f"h{nbins}.hist"), log=log)
+        return res, log.getvalue(), (tmp_path / f"h{nbins}.hist").read_text()
+
+    res_small, log_small, hist_small = run(32)      # must overflow+retry
+    res_big, log_big, hist_big = run(128)           # fits from the start
+
+    assert "-- Growing k* histogram to 64 bins." in log_small
+    assert res_small == res_big
+    assert hist_small == hist_big
+    # the hot k-mer's hand-computed bin: trunc((8/1 - 1 + 0.1)/0.2) = 35
+    assert "-7.0\t1\n" in hist_small   # 35 * -0.2
+    # per-seq lines identical (no double counting on the retried group)
+    small_lines = [l for l in log_small.splitlines() if l.startswith(("s1", "s2", "hot"))]
+    big_lines = [l for l in log_big.splitlines() if l.startswith(("s1", "s2", "hot"))]
+    assert small_lines == big_lines
+
+
+# ---------------------------------------------------------------------
+# -loose [0]+1 special case (varMer.C:330-333): REF neutral + exactly
+# one tying ALT selects the ALT silently; three-way ties warn and pick
+# the max-ALT path.  Driven through BOTH the scalar selector and the
+# array-native select_block (fused scorer).
+# ---------------------------------------------------------------------
+
+def test_loose_ref_neutral_special_case_scalar_and_block(tmp_path):
+    from merfin_tpu.variants.device_score import DeviceScorer
+
+    k = 7
+    rng = random.Random(31)
+    g_a = random_dna(rng, 120)
+    p = 60
+    alt_b = ALT_OF[g_a[p]]
+    alt_c = ALT_OF[alt_b]
+    g_b = g_a[:p] + alt_b + g_a[p + 1:]
+    g_c = g_a[:p] + alt_c + g_a[p + 1:]
+
+    def world(name, reads, alt_field, gt="1/1"):
+        wdir = tmp_path / name
+        wdir.mkdir()
+        read_db = db_from_dict(refmodel.count_canonical(reads, k), k,
+                               str(wdir / "r"))
+        asm_db = db_from_dict(refmodel.count_canonical([g_a], k), k,
+                              str(wdir / "a"))
+        fasta = wdir / "asm.fasta"
+        fasta.write_text(f">chr1\n{g_a}\n")
+        vcf = wdir / "c.vcf"
+        vcf.write_text(
+            "##fileformat=VCFv4.2\n##contig=<ID=chr1>\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+            f"chr1\t{p + 1}\t.\t{g_a[p]}\t{alt_field}\t30\tPASS\t.\tGT\t{gt}\n")
+        return wdir, read_db, asm_db, str(fasta), str(vcf)
+
+    def run_loose(wdir, read_db, asm_db, fasta, vcf_path, tag, scorer_on):
+        rl = build_lookup(read_db)
+        al = build_lookup(asm_db)
+        vcf = VcfFile(vcf_path, log=io.StringIO())
+        vcf.merge_clusters(k, comb=15, nosplit=False, log=io.StringIO())
+        scorer = DeviceScorer(rl, al, k, 30.0, None) if scorer_on else None
+        log = io.StringIO()
+        run_variants("loose", SeqFile(fasta), vcf, k, rl.lookup_np,
+                     al.lookup_np, peak=30.0, prob_table=None,
+                     out_name=str(wdir / tag), log=log, scorer=scorer)
+        body = [l for l in (wdir / f"{tag}.filter.vcf").read_text()
+                .splitlines() if not l.startswith("#")]
+        return body, log.getvalue()
+
+    # case 1: reads hold A+B haplotypes -> REF and ALT both 0-missing ->
+    # idxs == [REF, ALT] -> silent ALT selection ([0]+1 rule)
+    w1 = world("two", [g_a] * 20 + [g_b] * 20, alt_b)
+    for scorer_on in (False, True):
+        body, log_txt = run_loose(*w1, f"t{scorer_on}", scorer_on)
+        assert len(body) == 1
+        f = body[0].split("\t")
+        assert (f[1], f[3], f[4]) == (str(p + 1), g_a[p], alt_b)
+        assert f[9].startswith("1/1")
+        assert "[ WARNING ]" not in log_txt, "the [0]+1 case is silent"
+
+    # case 2: A+B+C haplotypes with ALT "B,C" -> three neutral paths ->
+    # warning + max-ALT selection (count 1 each -> first ALT path wins)
+    w2 = world("three", [g_a] * 20 + [g_b] * 20 + [g_c] * 20,
+               f"{alt_b},{alt_c}", gt="1/2")
+    for scorer_on in (False, True):
+        body, log_txt = run_loose(*w2, f"t{scorer_on}", scorer_on)
+        assert len(body) == 1
+        f = body[0].split("\t")
+        assert (f[3], f[4]) == (g_a[p], alt_b), "first tying ALT path wins"
+        assert "Multiple (3) alternate pathes" in log_txt
+        assert "Max. 1 ALT variants selected" in log_txt
