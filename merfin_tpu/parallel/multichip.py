@@ -128,8 +128,7 @@ def make_hist_step(
                 jax.lax.psum(kn, "d"), jax.lax.psum(kr, "d"),
                 jax.lax.psum(kfbc, "d"))
 
-    rk_dev = jnp.asarray(value_map.read_k_host)
-    pr_dev = jnp.asarray(value_map.prob_host)
+    rk_dev, pr_dev = value_map.device_arrays()
     undr_dev, over_dev = bin_table.device_arrays()
 
     # Table arrays ride as jit ARGUMENTS, never closure constants: on a
@@ -242,8 +241,7 @@ def make_hist_group_step(
                 jax.lax.psum(kc, "d"), jax.lax.psum(kn, "d"),
                 jax.lax.psum(kr, "d"), jax.lax.psum(kfbc, "d"))
 
-    rk_dev = jnp.asarray(value_map.read_k_host)
-    pr_dev = jnp.asarray(value_map.prob_host)
+    rk_dev, pr_dev = value_map.device_arrays()
     undr_dev, over_dev = bin_table.device_arrays()
 
     # table as jit args (host-spanning shards are non-addressable)
@@ -299,8 +297,7 @@ def make_completeness_step(mesh, asm_lookup: ShardedLookup, value_map):
         undrc = jnp.sum(jnp.where(read_k > asm_k, read_k - asm_k, 0.0))
         return jax.lax.psum(total, "d"), jax.lax.psum(undrc, "d")
 
-    rk_dev = jnp.asarray(value_map.read_k_host)
-    pr_dev = jnp.asarray(value_map.prob_host)
+    rk_dev, pr_dev = value_map.device_arrays()
 
     # table as jit args (host-spanning shards are non-addressable)
     jrun = jax.jit(lambda as_k, as_v, rkeys, rvals, rmask: step(
@@ -387,8 +384,7 @@ def make_dump_step(
             asm_k = asm_k.astype(jnp.uint32)
         return read_k, asm_k, kasm, kmissing, overflow
 
-    rk_dev = jnp.asarray(value_map.read_k_host)
-    pr_dev = jnp.asarray(value_map.prob_host)
+    rk_dev, pr_dev = value_map.device_arrays()
 
     # table as jit args (host-spanning shards are non-addressable)
     jrun = jax.jit(lambda rk_k, rk_v, as_k, as_v, *data: step(

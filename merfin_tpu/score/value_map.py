@@ -62,14 +62,26 @@ class ValueMap:
         return self.never_overflows and self.peak >= 0.01 and k % 2 == 1
 
     def device_arrays(self):
-        """(read_k[vcap+1] f64, prob[vcap+1] f64) as jnp arrays.
+        """(read_k[vcap+1], prob[vcap+1] f64) as jnp arrays.
 
-        No caching: this is called both eagerly and under jit traces
-        (where the result would be a leaked tracer if cached).
+        The readK map ships as i32 whenever every readK fits (always,
+        except peak==0's inf or giant vcap/peak) — an emulated-f64
+        gather costs ~2x an i32 gather on TPU and readK is
+        integer-valued anyway; lookup_jnp branches on the dtype and
+        returns f64 either way.  No caching: this is called both
+        eagerly and under jit traces (where the result would be a
+        leaked tracer if cached).
         """
         import jax.numpy as jnp
 
+        if self._int_map_ok():
+            return (jnp.asarray(self.read_k_host.astype(np.int32)),
+                    jnp.asarray(self.prob_host))
         return jnp.asarray(self.read_k_host), jnp.asarray(self.prob_host)
+
+    def _int_map_ok(self) -> bool:
+        return (bool(np.isfinite(self.read_k_host).all())
+                and float(self.read_k_host.max()) < 2**31)
 
     def int_scorer_ok(self) -> bool:
         """True when the fused scorers can run their integer fast path:
@@ -107,7 +119,10 @@ class ValueMap:
         v = seq_value.astype(jnp.int64)
         idx = jnp.minimum(v, self.vcap)
         read_k = rk_map[idx]
-        prob = pr_map[idx]
+        if jnp.issubdtype(read_k.dtype, jnp.integer):
+            read_k = read_k.astype(jnp.float64)
+        # without a -prob table prob is identically 1.0: skip the gather
+        prob = pr_map[idx] if self.has_prob else jnp.float64(1.0)
         if self.never_overflows:
             # vcap covers 2x the true DB max: the clamp above is pure
             # safety, the emulated-f64 fallback division never runs
