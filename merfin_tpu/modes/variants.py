@@ -116,14 +116,18 @@ def _enumerate_task(args):
 
 
 def _enumerate_block_task(args):
-    """Worker task for the fused-scorer path: enumerate + pack into an
-    array-native PathBlock inside the worker, so the stream encode and
-    adjust-plane build parallelize across clusters and the result
-    pickles as numpy buffers instead of per-path objects."""
+    """Worker task for the fused-scorer path: the array-native
+    enumeration (variants/enumerate_fast.py — no per-path Python
+    objects; ~15x the scalar traverse at comb=15 scale) builds the
+    PathBlock directly, so the stream assembly and adjust-plane build
+    parallelize across clusters and the result pickles as numpy
+    buffers."""
     if args is None:
         return None
     enum_args, k = args
-    return build_path_block(_enumerate_task(enum_args), k)
+    from merfin_tpu.variants.enumerate_fast import build_path_block_fast
+
+    return build_path_block_fast(*enum_args, k)
 
 
 def _select_block_task(args):

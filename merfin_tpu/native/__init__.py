@@ -74,6 +74,14 @@ def get_lib():
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.mt_assemble_paths.restype = ctypes.c_int64
+    lib.mt_assemble_paths.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
+    ]
     _lib = lib
     return _lib
 

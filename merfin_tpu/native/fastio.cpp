@@ -376,4 +376,47 @@ int64_t mt_stream_parse(const uint8_t* data, int64_t len, int32_t is_final,
   return np;
 }
 
+
+// Assemble candidate-path byte streams from a piece table and encode
+// to 2-bit codes in one pass, hashing each path's RAW bytes (the
+// first-seen string-dedup screen, varMer.C:38-45).
+//
+// combined   : template bytes ++ allele/separator pool bytes.
+// src/len    : int32 piece table, row-major [P, n_p] (src indexes
+//              combined; zero-length pieces allowed).
+// w1/w2      : uint32 position weights (length >= longest path).
+// out_codes  : caller buffer, capacity >= total bytes; 2-bit codes
+//              (A=0 C=1 G=2 T=3, other=4).
+// out_hash   : uint64 [P]; (h1 << 32) | h2 of the path's bytes
+//              (wrap-around u32 sums of w[rel] * byte, separator
+//              included — equal for equal paths either way).
+// Returns total bytes written.
+int64_t mt_assemble_paths(const uint8_t* combined,
+                          const int32_t* src, const int32_t* len,
+                          int64_t P, int64_t n_p,
+                          const uint32_t* w1, const uint32_t* w2,
+                          uint8_t* out_codes, uint64_t* out_hash) {
+  init_codes();
+  int64_t w = 0;
+  for (int64_t p = 0; p < P; p++) {
+    uint32_t h1 = 0, h2 = 0;
+    int64_t rel = 0;
+    const int32_t* ps = src + p * n_p;
+    const int32_t* pl = len + p * n_p;
+    for (int64_t j = 0; j < n_p; j++) {
+      const uint8_t* s = combined + ps[j];
+      const int32_t  n = pl[j];
+      for (int32_t i = 0; i < n; i++) {
+        const uint8_t b = s[i];
+        h1 += w1[rel] * (uint32_t)b;
+        h2 += w2[rel] * (uint32_t)b;
+        rel++;
+        out_codes[w++] = CODE[b];
+      }
+    }
+    out_hash[p] = ((uint64_t)h1 << 32) | (uint64_t)h2;
+  }
+  return w;
+}
+
 }  // extern "C"
