@@ -379,9 +379,14 @@ def run_variants(
         task_args = [(a, k) if a is not None and use_blocks else a
                      for a in enum_args]
         paths_list = [None] * len(enum_args)
+        # Pool threshold: the scalar path wins from 2 workers; the fused
+        # path's array-native enumeration is ~6x faster, so the spawn +
+        # PathBlock-pickle overhead only pays off from 3+ workers
+        # (docs/PERF.md r4 host-ceiling measurements)
+        min_workers = 3 if use_blocks else 2
         heavy = [i for i, a in enumerate(enum_args)
                  if a is not None and _est_paths(a[3]) >= _POOL_MIN_PATHS] \
-            if threads and threads > 1 else []
+            if threads and threads >= min_workers else []
         heavy_set = set(heavy)
         all_scores: list = [None] * len(prepared)
 

@@ -365,7 +365,7 @@ def test_device_scorer_pooled_imap_matches_host(world, tmp_path, monkeypatch):
     run_variants("polish", SeqFile(world["fasta"]), vcf2, K,
                  rl.lookup_np, al.lookup_np, peak=30.0, prob_table=None,
                  out_name=str(dev_out), log=io.StringIO(), scorer=scorer,
-                 threads=2)
+                 threads=3)
 
     a = (tmp_path / "h_pool.polish.vcf").read_bytes()
     b = (tmp_path / "d_pool.polish.vcf").read_bytes()
