@@ -127,7 +127,7 @@ def run_completeness(
     peak: float,
     prob_table: ProbTable | None = None,
     log=sys.stderr,
-    block: int = 1 << 23,
+    block: int = 1 << 22,
     mesh=None,
     asm_table=None,
 ):
