@@ -107,3 +107,30 @@ def test_kover_cpy():
     out = kover_cpy_np(rk, ak, pr)
     assert out[0] == (1 - 2 / 4) * 0.5
     assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
+
+
+def test_value_map_int_path_matches_f64():
+    """The i32 readK map + skipped prob gather (device_arrays) computes
+    the same (readK, prob) as the plain f64 maps on every raw value."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from merfin_tpu.score.kstar import ProbTable
+    from merfin_tpu.score.value_map import ValueMap
+
+    prob = ProbTable(np.asarray([1, 1, 2], np.uint32),
+                     np.asarray([0.9, 0.8, 0.7]))
+    for pt in (None, prob):
+        for exact in (False, True):
+            vm = ValueMap(12.0, pt, 500, exact_max=exact)
+            arrays = vm.device_arrays()
+            assert jnp.issubdtype(arrays[0].dtype, jnp.integer)
+            v = jnp.asarray(np.arange(0, 1300, dtype=np.uint64))
+            rk, pr, over = vm.lookup_jnp(v, arrays)
+            f64 = (jnp.asarray(vm.read_k_host), jnp.asarray(vm.prob_host))
+            rk2, pr2, over2 = vm.lookup_jnp(v, f64)
+            np.testing.assert_array_equal(np.asarray(rk), np.asarray(rk2))
+            np.testing.assert_array_equal(
+                np.broadcast_to(np.asarray(pr), v.shape),
+                np.broadcast_to(np.asarray(pr2), v.shape))
+            assert int(over) == int(over2)
