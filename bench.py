@@ -345,6 +345,39 @@ def _bench_variants_heavy(k=21, n_clusters=4, n_vars=15, spacing=8):
     return dev_rate, host_rate, ident
 
 
+_WATCHDOG = {"deadline": None, "section": "", "emit": None}
+
+
+def _watchdog_loop():
+    """Emit the partial result and hard-exit if a section stalls: the
+    axon tunnel can wedge a dispatch/compile indefinitely (docs/PERF.md
+    r4 'tunnel transport'); a bench that hangs reports nothing."""
+    while True:
+        time.sleep(10)
+        dl = _WATCHDOG["deadline"]
+        if dl is not None and time.time() > dl and _WATCHDOG["emit"]:
+            _WATCHDOG["emit"](stalled=_WATCHDOG["section"])
+            os._exit(0)
+
+
+def _section(name: str, seconds: float, fn, extra: dict):
+    """Run one bench section under the watchdog; failures/stalls are
+    recorded instead of killing the whole bench."""
+    import threading
+
+    if not getattr(_section, "_started", False):
+        _section._started = True
+        threading.Thread(target=_watchdog_loop, daemon=True).start()
+    _WATCHDOG["section"] = name
+    _WATCHDOG["deadline"] = time.time() + seconds
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — a bench section must not kill the run
+        extra[f"{name}_error"] = repr(e)[:200]
+    finally:
+        _WATCHDOG["deadline"] = None
+
+
 def main() -> None:
     from merfin_tpu.config import ensure_x64
 
@@ -372,8 +405,6 @@ def main() -> None:
     q_np = np.concatenate([keys[hit_idx], misses])
     rng.shuffle(q_np)
 
-    rates, spread = _bench_join(keys, vals, k, q_np)
-
     # CPU baseline: single-threaded numpy searchsorted (reference-style probe)
     cpu_n = 1 << 20
     qc = q_np[:cpu_n]
@@ -387,17 +418,38 @@ def main() -> None:
     def mm(pair):
         return [round(pair[0]), round(pair[1])]
 
-    extra = {
-        "join_v1_lookups_per_sec": round(rates["v1"]),
-        "join_v4_lookups_per_sec": round(rates["v4"]),
-        "join_v1_spread": mm(spread["v1"]),
-        "join_v4_spread": mm(spread["v4"]),
-        "cpu_lookups_per_sec": round(cpu_rate),
-    }
-    if os.environ.get("BENCH_SKIP_MODES") != "1":
+    extra = {"cpu_lookups_per_sec": round(cpu_rate)}
+    rates = {"v1": 0.0, "v4": 0.0}
+
+    def emit(stalled=None):
+        best = max(rates["v1"], rates["v4"])
+        out_extra = dict(extra)
+        if stalled:
+            out_extra["stalled_section"] = stalled
+        print(json.dumps({
+            "metric": "kmer_exact_lookups_per_sec_per_chip",
+            "value": round(best),
+            "unit": "lookups/s",
+            "vs_baseline": round(best / cpu_rate, 2),
+            "extra": out_extra,
+        }), flush=True)
+
+    _WATCHDOG["emit"] = emit
+
+    def sec_join():
+        r, spread = _bench_join(keys, vals, k, q_np)
+        rates.update(r)
+        extra["join_v1_lookups_per_sec"] = round(r["v1"])
+        extra["join_v4_lookups_per_sec"] = round(r["v4"])
+        extra["join_v1_spread"] = mm(spread["v1"])
+        extra["join_v4_spread"] = mm(spread["v4"])
+
+    def sec_hist():
         hist_rate, hist_spread = _best_of(_bench_hist(keys, vals, asm_vals, k))
         extra["hist_bases_per_sec"] = round(hist_rate)
         extra["hist_spread"] = mm(hist_spread)
+
+    def sec_hist_even():
         # even-k datapoint (VERDICT r3 item 7): even-k sortjoin carries
         # the palindrome multiplier through the device sort
         k_even = 20
@@ -408,27 +460,37 @@ def main() -> None:
         asm_e = rng_e.integers(1, 3, size=keys_e.size).astype(np.uint32)
         extra["hist_bases_per_sec_even_k"] = round(_bench_hist(
             keys_e, vals_e, asm_e, k_even, n_bases=1 << 24)())
+
+    def sec_variants():
         extra["variant_clusters_per_sec"] = round(_bench_variants(), 1)
+
+    def sec_heavy():
         hv_dev, hv_host, hv_ident = _bench_variants_heavy()
         extra["variant_clusters_per_sec_heavy"] = round(hv_dev, 2)
         extra["variant_clusters_per_sec_heavy_hostcores"] = round(hv_host, 2)
         extra["variant_heavy_dev_vs_host"] = round(hv_dev / hv_host, 2)
         extra["variant_heavy_outputs_identical"] = hv_ident
+
+    def sec_count():
         extra["count_bases_per_sec"] = round(_bench_count())
+
+    def sec_completeness():
         compl_rate, compl_spread, compl_res = _bench_completeness(
             keys, vals, asm_vals, k)
         extra["completeness_kmers_per_sec"] = round(compl_rate)
         extra["completeness_spread"] = mm(compl_spread)
         extra["completeness_kmers_per_sec_resident"] = round(compl_res)
 
-    best = max(rates["v1"], rates["v4"])
-    print(json.dumps({
-        "metric": "kmer_exact_lookups_per_sec_per_chip",
-        "value": round(best),
-        "unit": "lookups/s",
-        "vs_baseline": round(best / cpu_rate, 2),
-        "extra": extra,
-    }))
+    _section("join", 1800, sec_join, extra)
+    if os.environ.get("BENCH_SKIP_MODES") != "1":
+        _section("completeness", 1800, sec_completeness, extra)
+        _section("hist", 1800, sec_hist, extra)
+        _section("hist_even_k", 1200, sec_hist_even, extra)
+        _section("variants", 1200, sec_variants, extra)
+        _section("variants_heavy", 1800, sec_heavy, extra)
+        _section("count", 900, sec_count, extra)
+
+    emit()
 
 
 if __name__ == "__main__":

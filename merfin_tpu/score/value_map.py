@@ -62,21 +62,18 @@ class ValueMap:
         return self.never_overflows and self.peak >= 0.01 and k % 2 == 1
 
     def device_arrays(self):
-        """(read_k[vcap+1], prob[vcap+1] f64) as jnp arrays.
+        """(read_k[vcap+1] f64, prob[vcap+1] f64) as jnp arrays.
 
-        The readK map ships as i32 whenever every readK fits (always,
-        except peak==0's inf or giant vcap/peak) — an emulated-f64
-        gather costs ~2x an i32 gather on TPU and readK is
-        integer-valued anyway; lookup_jnp branches on the dtype and
-        returns f64 either way.  No caching: this is called both
-        eagerly and under jit traces (where the result would be a
-        leaked tracer if cached).
+        Deliberately the plain f64 pair: an i32-map + skipped-prob
+        variant of the hist program stalled the axon remote compiler
+        for 17+ minutes where this one compiles in ~6.5 (r4 bisect,
+        docs/PERF.md); the integer fast path lives only in the fused
+        scorers (device_arrays_scorer), whose program compiles fine.
+        No caching: this is called both eagerly and under jit traces
+        (where the result would be a leaked tracer if cached).
         """
         import jax.numpy as jnp
 
-        if self._int_map_ok():
-            return (jnp.asarray(self.read_k_host.astype(np.int32)),
-                    jnp.asarray(self.prob_host))
         return jnp.asarray(self.read_k_host), jnp.asarray(self.prob_host)
 
     def _int_map_ok(self) -> bool:
@@ -121,8 +118,7 @@ class ValueMap:
         read_k = rk_map[idx]
         if jnp.issubdtype(read_k.dtype, jnp.integer):
             read_k = read_k.astype(jnp.float64)
-        # without a -prob table prob is identically 1.0: skip the gather
-        prob = pr_map[idx] if self.has_prob else jnp.float64(1.0)
+        prob = pr_map[idx]
         if self.never_overflows:
             # vcap covers 2x the true DB max: the clamp above is pure
             # safety, the emulated-f64 fallback division never runs

@@ -123,8 +123,8 @@ def test_value_map_int_path_matches_f64():
     for pt in (None, prob):
         for exact in (False, True):
             vm = ValueMap(12.0, pt, 500, exact_max=exact)
-            arrays = vm.device_arrays()
-            assert jnp.issubdtype(arrays[0].dtype, jnp.integer)
+            arrays = (jnp.asarray(vm.read_k_host.astype(np.int32)),
+                      jnp.asarray(vm.prob_host))
             v = jnp.asarray(np.arange(0, 1300, dtype=np.uint64))
             rk, pr, over = vm.lookup_jnp(v, arrays)
             f64 = (jnp.asarray(vm.read_k_host), jnp.asarray(vm.prob_host))
