@@ -109,6 +109,24 @@ def pack_transfer_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     codes = np.asarray(codes, dtype=np.uint8)
     L = codes.shape[-1]
     p4 = (L + 3) // 4
+
+    if codes.ndim <= 2 and codes.flags.c_contiguous and L:
+        from merfin_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "mt_pack_transfer"):
+            import ctypes
+
+            rows = codes.shape[0] if codes.ndim == 2 else 1
+            p8 = (L + 7) // 8
+            planes = np.empty(codes.shape[:-1] + (p4,), np.uint8)
+            vbits = np.empty(codes.shape[:-1] + (p8,), np.uint8)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.mt_pack_transfer(
+                codes.ctypes.data_as(u8p), rows, L,
+                planes.ctypes.data_as(u8p), vbits.ctypes.data_as(u8p))
+            return planes, vbits
+
     c = np.where(codes < 4, codes, 0).astype(np.uint8)
     if p4 * 4 != L:
         pad = np.zeros(codes.shape[:-1] + (p4 * 4 - L,), np.uint8)

@@ -82,6 +82,11 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
     ]
+    lib.mt_pack_transfer.restype = None
+    lib.mt_pack_transfer.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
 

@@ -419,4 +419,37 @@ int64_t mt_assemble_paths(const uint8_t* combined,
   return w;
 }
 
+
+// Transfer packing: uint8 codes -> 2-bit planes + validity bitmask
+// (the host->device wire format, kcore/pack.py pack_transfer_np).
+// rows x L row-major; planes ceil(L/4), vbits ceil(L/8) per row.
+void mt_pack_transfer(const uint8_t* codes, int64_t rows, int64_t L,
+                      uint8_t* planes, uint8_t* vbits) {
+  const int64_t p4 = (L + 3) / 4, p8 = (L + 7) / 8;
+  for (int64_t r = 0; r < rows; r++) {
+    const uint8_t* c = codes + r * L;
+    uint8_t* pl = planes + r * p4;
+    uint8_t* vb = vbits + r * p8;
+    for (int64_t i = 0; i < p4; i++) {
+      uint8_t b = 0;
+      const int64_t base = i * 4;
+      const int64_t m = (L - base) < 4 ? (L - base) : 4;
+      for (int64_t j = 0; j < m; j++) {
+        const uint8_t v = c[base + j];
+        if (v < 4) b |= (uint8_t)(v << (2 * j));
+      }
+      pl[i] = b;
+    }
+    for (int64_t i = 0; i < p8; i++) {
+      uint8_t b = 0;
+      const int64_t base = i * 8;
+      const int64_t m = (L - base) < 8 ? (L - base) : 8;
+      for (int64_t j = 0; j < m; j++) {
+        if (c[base + j] < 4) b |= (uint8_t)(1 << j);
+      }
+      vb[i] = b;
+    }
+  }
+}
+
 }  // extern "C"
