@@ -210,8 +210,8 @@ def _allmiss_arr(nm: np.ndarray, lens: np.ndarray, k: int) -> np.ndarray:
     return (span >= 0) & (nm == span)
 
 
-def _min_missing_idxs_filterlike_arr(nm, lens, k) -> list[int]:
-    """Closed form of _min_missing_idxs_filterlike.
+def _min_missing_idxs_filterlike_arr(nm, lens, k) -> np.ndarray:
+    """Closed form of _min_missing_idxs_filterlike (int64 array).
 
     The scalar scan resets idxs only on a STRICT decrease, and the
     numM==0 block sets num_missing to 0 *before* the < test, so zero
@@ -220,38 +220,35 @@ def _min_missing_idxs_filterlike_arr(nm, lens, k) -> list[int]:
     """
     ok_idx = np.flatnonzero(~_allmiss_arr(nm, lens, k))
     if ok_idx.size == 0:
-        return []
+        return np.zeros(0, np.int64)
     vals = nm[ok_idx]
     zeros = np.flatnonzero(vals == 0)
     if zeros.size == 0:
         m = vals.min()
-        return [int(x) for x in ok_idx[vals == m]]
-    idxs: list[int] = []
+        return ok_idx[vals == m].astype(np.int64)
+    parts = []
     z0 = zeros[0]
     if z0 > 0:
         pre = vals[:z0]
-        v = pre.min()
-        idxs = [int(ok_idx[i]) for i in np.flatnonzero(pre == v)]
-    for z in zeros:
-        ii = int(ok_idx[z])
-        idxs += [ii, ii]
-    return idxs
+        parts.append(ok_idx[:z0][pre == pre.min()])
+    parts.append(np.repeat(ok_idx[zeros], 2))   # the double-push quirk
+    return np.concatenate(parts).astype(np.int64)
 
 
-def _min_missing_idxs_vs_ref_arr(nm, include_neutral: bool) -> list[int]:
-    """Closed form of _min_missing_idxs_vs_ref: a strict decrease below
-    scores[0].num_m resets, equals-at-minimum append (gated by the
-    neutral rule); if nothing beats the REF path, only the neutral rule
-    can populate idxs."""
+def _min_missing_idxs_vs_ref_arr(nm, include_neutral: bool) -> np.ndarray:
+    """Closed form of _min_missing_idxs_vs_ref (int64 array): a strict
+    decrease below scores[0].num_m resets, equals-at-minimum append
+    (gated by the neutral rule); if nothing beats the REF path, only
+    the neutral rule can populate idxs."""
     if nm.size == 0:
-        return []
+        return np.zeros(0, np.int64)
     ref = nm[0]
     m = nm.min()
     if m < ref:
-        return [int(x) for x in np.flatnonzero(nm == m)]
+        return np.flatnonzero(nm == m).astype(np.int64)
     if include_neutral:
-        return [int(x) for x in np.flatnonzero(nm == ref)]
-    return []
+        return np.flatnonzero(nm == ref).astype(np.int64)
+    return np.zeros(0, np.int64)
 
 
 def select_block(mode: str, nm: np.ndarray, td: np.ndarray,
@@ -262,19 +259,27 @@ def select_block(mode: str, nm: np.ndarray, td: np.ndarray,
     gtp rows index pos_gt.gts exactly like VarPath.gt_path."""
     if mode in ("polish", "filter"):
         idxs = _min_missing_idxs_filterlike_arr(nm, lens, k)
-        if not idxs:
+        if idxs.size == 0:
             return "" if mode == "polish" else []
         if mode == "filter":
-            gt_idxs = sorted({i for idx in idxs
-                              for i, g in enumerate(gtp[idx]) if g > 0})
-            return [pos_gt.gts[i].record for i in gt_idxs]
-        if len(idxs) == 1:
+            gt_idxs = np.unique(np.nonzero(gtp[idxs] > 0)[1])
+            return [pos_gt.gts[int(i)].record for i in gt_idxs]
+        if idxs.size == 1:
             return get_hom_record(pos_gt, gtp[idxs[0]])
-        entries = [(float(td[idx]), idx) for idx in idxs]
-        order = sorted(range(len(entries)),
-                       key=lambda i: int(entries[i][0]), reverse=True)
-        avg_k1, idx1 = entries[order[0]]
-        avg_k2, idx2 = entries[order[1]]
+        # stable descending sort by INT-TRUNCATED totdk (varMer.H:72):
+        # order[0]/order[1] are the first occurrence of the max int key
+        # and the next element in that ordering — closed form, no sort
+        tdv = td[idxs]
+        tdi = tdv.astype(np.int64)       # truncates toward zero, like int()
+        at_max = np.flatnonzero(tdi == tdi.max())
+        i1 = int(at_max[0])
+        if at_max.size >= 2:
+            i2 = int(at_max[1])
+        else:
+            rest = tdi[tdi != tdi[i1]]
+            i2 = int(np.flatnonzero(tdi == rest.max())[0])
+        avg_k1, idx1 = float(tdv[i1]), int(idxs[i1])
+        avg_k2, idx2 = float(tdv[i2]), int(idxs[i2])
         if avg_k1 == avg_k2:
             if lens[idx1] >= lens[idx2]:
                 return get_het_record(pos_gt, gtp[idx1], gtp[idx2])
@@ -283,31 +288,27 @@ def select_block(mode: str, nm: np.ndarray, td: np.ndarray,
 
     if mode in ("better", "strict"):
         idxs = _min_missing_idxs_vs_ref_arr(nm, include_neutral=False)
-        if not idxs:
+        if idxs.size == 0:
             return ""
-        best = idxs[0]
-        for ii in idxs[1:]:
-            if lens[ii] > lens[best]:
-                best = ii
+        # first-occurrence max length (the scan replaces only on >)
+        best = int(idxs[np.argmax(lens[idxs])])
         return get_hom_record(pos_gt, gtp[best])
 
     assert mode == "loose"
     idxs = _min_missing_idxs_vs_ref_arr(nm, include_neutral=True)
-    if not idxs:
+    if idxs.size == 0:
         return ""
-    if len(idxs) == 1:
+    if idxs.size == 1:
         return get_hom_record(pos_gt, gtp[idxs[0]])
-    if idxs[0] == 0 and len(idxs) == 2:
+    if idxs[0] == 0 and idxs.size == 2:
         return get_hom_record(pos_gt, gtp[idxs[1]])
-    max_vars = 0
-    max_idx = idxs[0]
-    for ii in idxs[1:]:
-        count = int((gtp[ii] > 0).sum())
-        if count > max_vars:
-            max_vars = count
-            max_idx = ii
+    # first-occurrence max ALT count over idxs[1:], but only a count > 0
+    # replaces the initial idxs[0] (the scan starts at max_vars = 0)
+    counts = (gtp[idxs[1:]] > 0).sum(axis=1)
+    max_vars = int(counts.max()) if counts.size else 0
+    max_idx = int(idxs[1 + np.argmax(counts)]) if max_vars > 0 else int(idxs[0])
     rec = pos_gt.gts[0].record.save()
-    print(f"[ WARNING ] :: Multiple ({len(idxs)}) alternate pathes detected in a "
+    print(f"[ WARNING ] :: Multiple ({idxs.size}) alternate pathes detected in a "
           f"path beginning with variant : {rec}", end="", file=log)
     print(f"[ WARNING ] :: Max. {max_vars} ALT variants selected", file=log)
     return get_hom_record(pos_gt, gtp[max_idx])

@@ -166,7 +166,7 @@ def test_filterlike_arr_matches_scalar_fuzz():
         want = select._min_missing_idxs_filterlike(paths, scores, K)
         got = select._min_missing_idxs_filterlike_arr(
             np.asarray(nm, np.int64), np.asarray(lens, np.int64), K)
-        assert got == want, (trial, nm, lens, got, want)
+        assert list(got) == want, (trial, nm, lens, got, want)
 
 
 def test_vs_ref_arr_matches_scalar_fuzz():
@@ -181,4 +181,4 @@ def test_vs_ref_arr_matches_scalar_fuzz():
             want = select._min_missing_idxs_vs_ref(scores, neutral)
             got = select._min_missing_idxs_vs_ref_arr(
                 np.asarray(nm, np.int64), neutral)
-            assert got == want, (trial, nm, neutral, got, want)
+            assert list(got) == want, (trial, nm, neutral, got, want)
