@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
 
 extern "C" {
 
@@ -450,6 +451,28 @@ void mt_pack_transfer(const uint8_t* codes, int64_t rows, int64_t L,
       vb[i] = b;
     }
   }
+}
+
+
+// Union of [lo, hi) intervals -> 0/1 plane via a difference array.
+// Intervals may arrive unsorted; per-position overlap depth < 128
+// (one cluster's variants). out must hold n_win bytes.
+void mt_intervals_plane(const int64_t* lo, const int64_t* hi, int64_t n,
+                        int64_t n_win, uint8_t* out) {
+  int8_t* d = (int8_t*)calloc((size_t)n_win + 1, 1);
+  if (!d) { memset(out, 0, (size_t)n_win); return; }
+  for (int64_t i = 0; i < n; i++) {
+    int64_t a = lo[i], b = hi[i];
+    if (a < 0) a = 0;
+    if (b > n_win) b = n_win;
+    if (a < b) { d[a]++; d[b]--; }
+  }
+  int32_t run = 0;
+  for (int64_t i = 0; i < n_win; i++) {
+    run += d[i];
+    out[i] = run > 0;
+  }
+  free(d);
 }
 
 }  // extern "C"

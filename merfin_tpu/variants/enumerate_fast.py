@@ -63,11 +63,27 @@ def _ranges_from_counts(counts: np.ndarray) -> np.ndarray:
 
 def _intervals_to_plane(lo_all: np.ndarray, hi_all: np.ndarray,
                         n_win: int) -> np.ndarray:
-    """Union of [lo, hi) intervals -> bool plane via merged runs + an
-    int8 difference array (shared with score._flat_planes; see the
-    page-fault note there)."""
+    """Union of [lo, hi) intervals -> bool plane.  Native path: one C
+    difference-array pass, NO sort (the numpy merged-run form below
+    needs the intervals sorted — an argsort of 2.5M intervals per
+    comb=15 cluster)."""
     if lo_all.size == 0 or n_win == 0:
         return np.zeros(n_win, bool)
+
+    from merfin_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "mt_intervals_plane"):
+        import ctypes
+
+        out = np.empty(n_win, np.uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.mt_intervals_plane(
+            np.ascontiguousarray(lo_all, np.int64).ctypes.data_as(i64p),
+            np.ascontiguousarray(hi_all, np.int64).ctypes.data_as(i64p),
+            lo_all.size, n_win, out.ctypes.data_as(u8p))
+        return out.view(bool)
     if np.any(lo_all[1:] < lo_all[:-1]):
         order = np.argsort(lo_all, kind="stable")
         lo_all = lo_all[order]
