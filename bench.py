@@ -481,13 +481,13 @@ def main() -> None:
         extra["completeness_spread"] = mm(compl_spread)
         extra["completeness_kmers_per_sec_resident"] = round(compl_res)
 
-    _section("join", 1800, sec_join, extra)
+    _section("join", 2700, sec_join, extra)
     if os.environ.get("BENCH_SKIP_MODES") != "1":
-        _section("completeness", 1800, sec_completeness, extra)
-        _section("hist", 1800, sec_hist, extra)
+        _section("completeness", 2400, sec_completeness, extra)
+        _section("hist", 2400, sec_hist, extra)
         _section("hist_even_k", 1200, sec_hist_even, extra)
         _section("variants", 1200, sec_variants, extra)
-        _section("variants_heavy", 1800, sec_heavy, extra)
+        _section("variants_heavy", 2400, sec_heavy, extra)
         _section("count", 900, sec_count, extra)
 
     emit()
