@@ -290,7 +290,7 @@ class DeviceScorer(_FusedScorer):
         if self.sortjoin:
             from merfin_tpu.ops.sortjoin import build_sortjoin_table
 
-            self.MAX_WINDOWS = 1 << 23
+            self.MAX_WINDOWS = 1 << 22
             # same ratio rule as KstarEngine (shared builder): v1's cost
             # is QB x window span (wins when table/queries is small),
             # v4's fence narrowing is flat in table size
