@@ -485,16 +485,22 @@ def main() -> None:
         extra["completeness_spread"] = mm(compl_spread)
         extra["completeness_kmers_per_sec_resident"] = round(compl_res)
 
+    # Emit after EVERY section: the last stdout line is always the most
+    # complete result, so a bench killed mid-run (driver budget, tunnel
+    # wedge) still reports everything finished so far.
     _section("join", 2700, sec_join, extra)
-    if os.environ.get("BENCH_SKIP_MODES") != "1":
-        _section("completeness", 2400, sec_completeness, extra)
-        _section("hist", 2400, sec_hist, extra)
-        _section("hist_even_k", 1200, sec_hist_even, extra)
-        _section("variants", 1200, sec_variants, extra)
-        _section("variants_heavy", 2400, sec_heavy, extra)
-        _section("count", 900, sec_count, extra)
-
     emit()
+    if os.environ.get("BENCH_SKIP_MODES") != "1":
+        for name, secs, fn in (
+            ("completeness", 2400, sec_completeness),
+            ("hist", 2400, sec_hist),
+            ("hist_even_k", 1200, sec_hist_even),
+            ("variants", 1200, sec_variants),
+            ("variants_heavy", 2400, sec_heavy),
+            ("count", 900, sec_count),
+        ):
+            _section(name, secs, fn, extra)
+            emit()
 
 
 if __name__ == "__main__":
