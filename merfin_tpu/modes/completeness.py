@@ -146,7 +146,6 @@ def run_completeness(
     # max_v is the scanned TRUE maximum (and completeness feeds raw DB
     # values, never palindrome-doubled), so the fallback compiles away
     vmap = ValueMap(peak, prob_table, max_v, exact_max=True)
-    vm_arrays = vmap.device_arrays()
 
     if mesh is not None:
         return _run_completeness_mesh(read_db, asm_db, vmap, mesh,
