@@ -349,3 +349,44 @@ def test_dump_grouped_packing_matches_per_seq(setup, tmp_path):
     lines_s = [l for l in log_s.getvalue().splitlines() if l.startswith("d")
                and "\t" in l]
     assert lines_g == lines_s and len(lines_g) == 30
+
+
+def test_completeness_wide_readk_u16_path(tmp_path):
+    """Tiny peak pushes readK past 255: the wire readK dtype widens to
+    u16 and totals stay exact."""
+    import io as _io
+
+    from tests.util import db_from_dict
+    from merfin_tpu.modes.completeness import run_completeness
+
+    k = 5
+    kmers = ["ACGTA", "GGATC", "TTACG"]
+    canon = [min(s, refmodel.revcomp(s)) for s in kmers]
+    assert len(set(canon)) == 3
+    rdb = db_from_dict(dict(zip(canon, [50, 100, 7])), k, str(tmp_path / "r"))
+    adb = db_from_dict(dict(zip(canon, [1, 1, 1])), k, str(tmp_path / "a"))
+    # peak 0.1: readK = round(v/0.1) = 500, 1000, 70 -> needs u16
+    res = run_completeness(rdb, adb, peak=0.1, log=_io.StringIO())
+    assert res["total"] == 500 + 1000 + 70
+    assert res["undrc"] == 499 + 999 + 69
+
+
+def test_completeness_peak_zero_inf_fallback(tmp_path):
+    """peak=0 (CLI-rejected, library-reachable): getK yields inf readK
+    (merfin-globals.C:84-97 division); the f64 wire fallback must not
+    crash.  COMPLETENESS is nan exactly as the reference's inf/inf;
+    the per-slice prefix split turns cross-slice totals nan rather
+    than inf (documented fallback-only divergence)."""
+    import io as _io
+    import math
+
+    from tests.util import db_from_dict
+    from merfin_tpu.modes.completeness import run_completeness
+
+    k = 5
+    s = min("ACGTA", refmodel.revcomp("ACGTA"))
+    rdb = db_from_dict({s: 9}, k, str(tmp_path / "r"))
+    adb = db_from_dict({s: 1}, k, str(tmp_path / "a"))
+    res = run_completeness(rdb, adb, peak=0.0, log=_io.StringIO())
+    assert math.isinf(res["total"]) or math.isnan(res["total"])
+    assert math.isnan(res["completeness"])
