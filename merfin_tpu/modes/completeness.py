@@ -255,7 +255,9 @@ def run_completeness(
         fetch(inflight.popleft())
 
     for ii in owned:
-        c = 1.0 - compl_undrc[ii] / compl_total[ii] if compl_total[ii] else float("nan")
+        # python-float division: inf/inf -> nan without numpy warnings
+        c = (1.0 - float(compl_undrc[ii]) / float(compl_total[ii])
+             if compl_total[ii] else float("nan"))
         print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
               f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
 
