@@ -335,7 +335,9 @@ def _run_completeness_mesh(read_db: KmerDB, asm_db: KmerDB, vmap, mesh,
             compl_undrc[ii] += float(u)
 
         if pid == 0:
-            c = 1.0 - compl_undrc[ii] / compl_total[ii] if compl_total[ii] else float("nan")
+            # python-float division: inf/inf -> nan without numpy warnings
+            c = (1.0 - float(compl_undrc[ii]) / float(compl_total[ii])
+                 if compl_total[ii] else float("nan"))
             print(f"thread {ii:2d} total {compl_total[ii]:12.2f} underc "
                   f"{compl_undrc[ii]:15.5f} completeness {c:0.8f}", file=log)
 

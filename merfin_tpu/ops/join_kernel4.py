@@ -266,61 +266,8 @@ class SortJoinTableV4:
         return self.lookup_sorted_with(self.tree(), q)
 
     def lookup_sorted_with(self, tree, q):
-        import jax
-        import jax.numpy as jnp
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
         rec, seg_first = tree
-        m = q.shape[0]
-        assert m % QB == 0
-        g = m // QB
-
-        # segment-granular block windows from the tiny segment index:
-        # block i covers segments [seg0, seg0+nseg)
-        bounds_lo = q[::QB]
-        bounds_hi = q[QB - 1 :: QB]
-        seg0 = (jnp.searchsorted(seg_first, bounds_lo, side="right")
-                .astype(jnp.int32) - 1)
-        seg0 = jnp.clip(seg0, 0, max(self.n_segs - 1, 0))
-        seg_end = jnp.searchsorted(seg_first, bounds_hi, side="right").astype(jnp.int32)
-        nseg = jnp.clip(seg_end - seg0, 1, self.n_segs - seg0)
-
-        qhi = (q >> np.uint64(32)).astype(jnp.uint32)
-        qlo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        to_i32 = lambda x: x.astype(jnp.int64).astype(jnp.int32)
-        bias = jnp.uint32(0x80000000)
-        q_hi_arg = to_i32(qhi).reshape(g, 1, QB)
-        q_lo_arg = jax.lax.bitcast_convert_type(qlo ^ bias, jnp.int32).reshape(g, 1, QB)
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(g,),
-            in_specs=[
-                pl.BlockSpec((1, 1, QB),
-                             lambda i, *_: (i, np.int32(0), np.int32(0))),
-                pl.BlockSpec((1, 1, QB),
-                             lambda i, *_: (i, np.int32(0), np.int32(0))),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, QB), lambda i, *_: (i, np.int32(0), np.int32(0))),
-            scratch_shapes=[
-                pltpu.VMEM((2, REC_ROWS, LANES), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-
-        out = pl.pallas_call(
-            _kernel,
-            out_shape=jax.ShapeDtypeStruct((g, 1, QB), jnp.uint32),
-            grid_spec=grid_spec,
-            interpret=_interpret(),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024,
-            ),
-        )(seg0, nseg, q_hi_arg, q_lo_arg, rec)
-        return out.reshape(-1)
+        return join_sorted_rec(rec, seg_first, q)
 
 
 def _interpret() -> bool:

@@ -151,14 +151,29 @@ class ShardedLookup:
             n = n_raw
             m_pad = max(1, max(bounds[i + 1] - bounds[i] for i in range(t)))
 
+        # Each shard's rows feed TWO make_array_from_callback calls
+        # (keys+vals, or rec+seg_first); memoize the filtered read so a
+        # shard's memmap is touched once, freed after its second use
+        # (the design-target tables are 150-200 GB of host I/O).
+        src_memo: dict[int, tuple] = {}
+        src_seen: dict[int, int] = {}
+
         def shard_src(r):
-            """Filtered (keys, vals) numpy rows of shard r."""
+            """Filtered (keys, vals) numpy rows of shard r (memoized)."""
+            if r in src_memo:
+                out = src_memo[r]
+                src_seen[r] += 1
+                if src_seen[r] >= 2:
+                    del src_memo[r], src_seen[r]
+                return out
             a, b = bounds[r], bounds[r + 1]
             kk = np.asarray(keys[a:b])
             vv = np.asarray(vals[a:b])
             if filt:
                 sel = (vv >= min_v) & (vv <= max_v)
                 kk, vv = kk[sel], vv[sel]
+            src_memo[r] = (kk, vv)
+            src_seen[r] = 1
             return kk, vv
 
         if fmt == "rec":
