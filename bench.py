@@ -30,10 +30,13 @@ import time
 import numpy as np
 
 
-def _bench_join(keys, vals, k, q_np, iters=10, rounds=3):
+def _bench_join(keys, vals, k, q_np, iters=10, rounds=3, on_kernel=None):
     """Best-of-``rounds`` per kernel with min/max spread: a single timed
     run cannot separate real regressions from tunnel load on this dev
-    link (VERDICT r3 item 3)."""
+    link (VERDICT r3 item 3).  v4 (the headline kernel) runs FIRST and
+    ``on_kernel(name, rate, spread)`` fires per kernel, so a stalled
+    compile of the second kernel can't zero the watchdog's partial
+    emit."""
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +45,7 @@ def _bench_join(keys, vals, k, q_np, iters=10, rounds=3):
 
     q = jnp.asarray(q_np)
     rates, spread = {}, {}
-    for name, cls in (("v1", SortJoinTable), ("v4", SortJoinTableV4)):
+    for name, cls in (("v4", SortJoinTableV4), ("v1", SortJoinTable)):
         sj = cls(keys, vals, k)
         tree = sj.tree()   # table rides as a jit ARGUMENT (program reuse)
         impl = jax.jit(lambda tr, qq, s=sj: s.lookup_sorted_with(tr, jnp.sort(qq)))
@@ -56,6 +59,8 @@ def _bench_join(keys, vals, k, q_np, iters=10, rounds=3):
             rs.append(q_np.size * iters / (time.perf_counter() - t0))
         rates[name] = max(rs)
         spread[name] = (min(rs), max(rs))
+        if on_kernel is not None:
+            on_kernel(name, rates[name], spread[name])
     return rates, spread
 
 
@@ -438,12 +443,12 @@ def main() -> None:
     _WATCHDOG["emit"] = emit
 
     def sec_join():
-        r, spread = _bench_join(keys, vals, k, q_np)
-        rates.update(r)
-        extra["join_v1_lookups_per_sec"] = round(r["v1"])
-        extra["join_v4_lookups_per_sec"] = round(r["v4"])
-        extra["join_v1_spread"] = mm(spread["v1"])
-        extra["join_v4_spread"] = mm(spread["v4"])
+        def on_kernel(name, rate, sp):
+            rates[name] = rate
+            extra[f"join_{name}_lookups_per_sec"] = round(rate)
+            extra[f"join_{name}_spread"] = mm(sp)
+
+        _bench_join(keys, vals, k, q_np, on_kernel=on_kernel)
 
     def sec_hist():
         hist_rate, hist_spread = _best_of(_bench_hist(keys, vals, asm_vals, k))
