@@ -72,9 +72,11 @@ def _block_stats_jit(table):
         in the narrowest dtype covering the value map (u8 for typical
         peaks).  Post-first-dispatch host->device transfers crawl at
         ~30-60 MB/s on this dev tunnel (docs/PERF.md r4), so wire bytes
-        are the completeness wall; padding keys are u64::MAX (sorted,
-        match nothing, land past bounds[64]) and padding readK is 0, so
-        padding contributes nothing.  Per-slice split: row sums [B/512]
+        are the completeness wall; a padding key is the hi-plane dtype
+        max concatenated with u32 max (e.g. ~2^40-1 for k<=16) — it
+        sorts past every real key < 2^2k, matches nothing, and lands
+        past bounds[64] — and padding readK is 0, so padding
+        contributes nothing.  Per-slice split: row sums [B/512]
         + a tiny cumsum + 65 boundary-row prefix corrections — the
         full-block f64 cumsum this replaces cost 322 ms per 4M block,
         more than the join."""

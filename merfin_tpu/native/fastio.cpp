@@ -455,11 +455,12 @@ void mt_pack_transfer(const uint8_t* codes, int64_t rows, int64_t L,
 
 
 // Union of [lo, hi) intervals -> 0/1 plane via a difference array.
-// Intervals may arrive unsorted; per-position overlap depth < 128
-// (one cluster's variants). out must hold n_win bytes.
+// Intervals may arrive unsorted; int16 depth bounds overlap at 32767
+// (one cluster's adjust spans stay <= 2k+1, but nothing upstream
+// enforces that, so don't assume int8 headroom).
 void mt_intervals_plane(const int64_t* lo, const int64_t* hi, int64_t n,
                         int64_t n_win, uint8_t* out) {
-  int8_t* d = (int8_t*)calloc((size_t)n_win + 1, 1);
+  int16_t* d = (int16_t*)calloc((size_t)n_win + 1, sizeof(int16_t));
   if (!d) { memset(out, 0, (size_t)n_win); return; }
   for (int64_t i = 0; i < n; i++) {
     int64_t a = lo[i], b = hi[i];

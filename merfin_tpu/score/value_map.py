@@ -77,19 +77,19 @@ class ValueMap:
         return jnp.asarray(self.read_k_host), jnp.asarray(self.prob_host)
 
     def _int_map_ok(self) -> bool:
+        """Every readK in the map is finite and fits int32."""
         return (bool(np.isfinite(self.read_k_host).all())
                 and float(self.read_k_host.max()) < 2**31)
 
     def int_scorer_ok(self) -> bool:
         """True when the fused scorers can run their integer fast path:
         no prob table (prob == 1 everywhere), no overflow fallback, and
-        every readK fits int32.  Then missing/K-delta math is pure
-        integer arithmetic — EXACTLY equal to the host scorer's f64
-        sums of the same integers, and ~an order of magnitude cheaper
-        than emulated-f64 on TPU (docs/PERF.md r4)."""
+        every readK fits int32 (_int_map_ok).  Then missing/K-delta
+        math is pure integer arithmetic — EXACTLY equal to the host
+        scorer's f64 sums of the same integers, and ~an order of
+        magnitude cheaper than emulated-f64 on TPU (docs/PERF.md r4)."""
         return (not self.has_prob and self.never_overflows
-                and bool(np.isfinite(self.read_k_host).all())
-                and float(self.read_k_host.max()) < 2**31)
+                and self._int_map_ok())
 
     def device_arrays_scorer(self):
         """Scorer flavor of device_arrays: (readK i32, prob f64) when

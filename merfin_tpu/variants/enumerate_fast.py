@@ -244,16 +244,19 @@ def build_path_block_fast(template: str, ref_idx_list, ref_len_list,
         flat_len = p_len32.reshape(-1)
         flat_src = p_src32.reshape(-1)
         T = int(flat_len.sum(dtype=np.int64))
+        # i32 gather indices would silently wrap past 2^31 assembled
+        # bytes (~10M-path clusters); widen on the rare huge block
+        idt = np.int64 if T >= 2**31 else np.int32
         piece_start = (np.cumsum(flat_len, dtype=np.int64)
-                       - flat_len).astype(np.int32)
-        src_idx = np.repeat(flat_src - piece_start, flat_len)
-        src_idx += np.arange(T, dtype=np.int32)
+                       - flat_len).astype(idt)
+        src_idx = np.repeat(flat_src.astype(idt) - piece_start, flat_len)
+        src_idx += np.arange(T, dtype=idt)
         raw = combined[src_idx]
         plen = p_len32.sum(axis=1)
         st = np.zeros(p_len32.shape[0] + 1, np.int64)
         np.cumsum(plen, out=st[1:])
-        rel = np.repeat((-st[:-1]).astype(np.int32), plen)
-        rel += np.arange(T, dtype=np.int32)
+        rel = np.repeat((-st[:-1]).astype(idt), plen)
+        rel += np.arange(T, dtype=idt)
         h1 = np.add.reduceat(w1[rel] * raw, st[:-1])
         h2 = np.add.reduceat(w2[rel] * raw, st[:-1])
         hashes = (h1.astype(np.uint64) << np.uint64(32)) | h2

@@ -4,12 +4,14 @@ Reference: varMer.C:150-467 (bestFilter / bestVariant / betterVariant /
 strictPolish / loosePolish) and the record emitters varMer.C:469-550.
 All tie-break quirks are reproduced:
 
-  * bestFilter / bestVariant push zero-missing paths TWICE into the
-    candidate list (varMer.C:161-176,406-421: the `numM == 0` block and
-    the `numM == numMissing` block both fire), which routes a single
-    zero-missing path through the het branch of bestVariant — harmless
-    there (het of idx with itself emits the same 1/1 records) but load-
-    bearing for which paths the multimap sees first.
+  * bestFilter pushes zero-missing paths TWICE into the candidate list
+    (varMer.C:161-163 `numM == 0` block + varMer.C:173-175 equality
+    block both fire, and the zero block pre-sets numMissing so the
+    strict-`<` reset never clears).  bestVariant does NOT share this:
+    varMer.C:406-421 is a plain scan — a zero-missing path arrives via
+    the strict-`<` branch, CLEARS the pre-zero survivors, and appends
+    once; the empty-result test is `numMissing == UINT32_MAX`
+    (varMer.C:424), not `idxs.empty()`.
   * bestVariant ranks tied paths with a multimap keyed by totdK but
     compared with greater<int> (varMer.H:72): descending by the
     INT-TRUNCATED totdK, insertion order preserved among equal ints.
@@ -37,7 +39,9 @@ def _all_missing(num_m: int, seq_len: int, k: int) -> bool:
 
 
 def _min_missing_idxs_filterlike(paths, scores, k) -> list[int]:
-    """The shared loop of bestFilter/bestVariant (with double-push quirk)."""
+    """The bestFilter loop (varMer.C:156-178), WITH the zero-missing
+    double-push quirk (the `numM == 0` block at :161-163 fires in
+    addition to the equality block at :173-175)."""
     num_missing = 0xFFFFFFFF
     idxs: list[int] = []
     for ii, (p, s) in enumerate(zip(paths, scores)):
@@ -52,6 +56,25 @@ def _min_missing_idxs_filterlike(paths, scores, k) -> list[int]:
         elif s.num_m == num_missing:
             idxs.append(ii)
     return idxs
+
+
+def _min_missing_idxs_plain(paths, scores, k) -> tuple[list[int], int]:
+    """The bestVariant loop (varMer.C:406-421): a PLAIN running-minimum
+    scan with no `numM == 0` block — strict decrease clears + pushes,
+    equality appends.  Returns (idxs, num_missing) because the caller's
+    empty test is `numMissing == UINT32_MAX` (varMer.C:424), which
+    differs from `not idxs` when a path carries num_m == UINT32_MAX."""
+    num_missing = 0xFFFFFFFF
+    idxs: list[int] = []
+    for ii, (p, s) in enumerate(zip(paths, scores)):
+        if _all_missing(s.num_m, len(p.seq), k):
+            continue
+        if s.num_m < num_missing:
+            num_missing = s.num_m
+            idxs = [ii]
+        elif s.num_m == num_missing:
+            idxs.append(ii)
+    return idxs, num_missing
 
 
 def best_filter(paths: list[VarPath], scores: list[PathScore], pos_gt: PosGT, k: int):
@@ -104,9 +127,12 @@ def tot_dk(score: PathScore) -> float:
 
 
 def best_variant(paths, scores, pos_gt: PosGT, k: int) -> str:
-    """-polish (varMer.C:400-467)."""
-    idxs = _min_missing_idxs_filterlike(paths, scores, k)
-    if not idxs:
+    """-polish (varMer.C:400-467).  Uses the PLAIN min-missing scan —
+    unlike bestFilter there is no zero-missing double-push, so a
+    zero-missing path clears any pre-zero survivors (varMer.C:406-421)
+    and the empty test is numMissing == UINT32_MAX (varMer.C:424)."""
+    idxs, num_missing = _min_missing_idxs_plain(paths, scores, k)
+    if num_missing == 0xFFFFFFFF:
         return ""
     if len(idxs) == 1:
         return get_hom_record(pos_gt, paths[idxs[0]].gt_path)
@@ -210,6 +236,23 @@ def _allmiss_arr(nm: np.ndarray, lens: np.ndarray, k: int) -> np.ndarray:
     return (span >= 0) & (nm == span)
 
 
+def _min_missing_idxs_plain_arr(nm, lens, k) -> tuple[np.ndarray, int]:
+    """Closed form of _min_missing_idxs_plain (the bestVariant scan,
+    varMer.C:406-421): the survivors of a strict-decrease-clears /
+    equality-appends scan are exactly the positions achieving the
+    overall minimum, in order.  Returns (idxs, num_missing) with
+    num_missing == UINT32_MAX when every path is all-missing."""
+    ok_idx = np.flatnonzero(~_allmiss_arr(nm, lens, k))
+    if ok_idx.size == 0:
+        return np.zeros(0, np.int64), 0xFFFFFFFF
+    vals = nm[ok_idx]
+    m = int(vals.min())
+    if m >= 0xFFFFFFFF:
+        # paths pushed at the UINT32_MAX sentinel never lower numMissing
+        return ok_idx[vals == m].astype(np.int64), 0xFFFFFFFF
+    return ok_idx[vals == m].astype(np.int64), m
+
+
 def _min_missing_idxs_filterlike_arr(nm, lens, k) -> np.ndarray:
     """Closed form of _min_missing_idxs_filterlike (int64 array).
 
@@ -257,13 +300,18 @@ def select_block(mode: str, nm: np.ndarray, td: np.ndarray,
     """Per-cluster selection from score arrays (num_m, totdk) and the
     block's (lens, gtp) — mirrors _select_task over PathScore lists.
     gtp rows index pos_gt.gts exactly like VarPath.gt_path."""
-    if mode in ("polish", "filter"):
+    if mode == "filter":
         idxs = _min_missing_idxs_filterlike_arr(nm, lens, k)
         if idxs.size == 0:
-            return "" if mode == "polish" else []
-        if mode == "filter":
-            gt_idxs = np.unique(np.nonzero(gtp[idxs] > 0)[1])
-            return [pos_gt.gts[int(i)].record for i in gt_idxs]
+            return []
+        gt_idxs = np.unique(np.nonzero(gtp[idxs] > 0)[1])
+        return [pos_gt.gts[int(i)].record for i in gt_idxs]
+
+    if mode == "polish":
+        # plain bestVariant scan — no zero double-push (varMer.C:406-424)
+        idxs, num_missing = _min_missing_idxs_plain_arr(nm, lens, k)
+        if num_missing == 0xFFFFFFFF:
+            return ""
         if idxs.size == 1:
             return get_hom_record(pos_gt, gtp[idxs[0]])
         # stable descending sort by INT-TRUNCATED totdk (varMer.H:72):

@@ -249,3 +249,231 @@ def score_path(seq: str, gt_path, idx_path, len_path, k: int, read_db, asm_db,
         kstr.append(km)
         dkstr.append(o_delta - n_delta)
     return num_m, kstr, dkstr
+
+
+# ---- selectors (varMer.C:150-467) ----
+#
+# Literal scalar transcriptions of the five selection policies, written
+# from the C++ alone and operating on plain data (no merfin_tpu types):
+#   seqs:     list[str]               (varMer::seqs)
+#   num_ms:   list[int]               (varMer::numMs, uint32)
+#   gt_paths: list[list[int]]         (varMer::gtPaths)
+#   dkstrs:   list[list[float]]       (varMer::dkstrs)
+#   gts:      list[(pos0, qual, alleles)]  (posGT::_gts: _pos, _qual, _alleles)
+# These are the independent oracle for merfin_tpu/variants/select.py.
+
+UINT32_MAX = 0xFFFFFFFF
+
+
+def _all_missing_size_t(num_m: int, seq_len: int, k: int) -> bool:
+    """numMs.at(ii) == seqs.at(ii).size() - merSize() + 1: the RHS is
+    size_t arithmetic, so seq_len < k-1 wraps huge (varMer.C:158,408)."""
+    return num_m == (seq_len - k + 1) % _U64
+
+
+def ref_hom_record(chrom, gts, gt_path) -> str:
+    """varMer::getHomRecord (varMer.C:531-550)."""
+    records = ""
+    for i in range(len(gt_path)):
+        alt_idx = gt_path[i]
+        if alt_idx > 0:
+            pos, qual, alleles = gts[i]
+            qual_str = str(int(qual))          # to_string((int)_qual)
+            records = (records + chrom + "\t" + str(pos + 1) + "\t.\t" +
+                       alleles[0] + "\t" + alleles[alt_idx] + "\t" +
+                       qual_str + "\t" + "PASS\t.\tGT\t1/1\n")
+    return records
+
+
+def ref_het_record(chrom, gts, gt1, gt2) -> str:
+    """varMer::getHetRecord (varMer.C:472-529)."""
+    records = ""
+    for i in range(len(gt1)):
+        alt1, alt2 = gt1[i], gt2[i]
+        if alt1 + alt2 > 0:
+            pos, qual, alleles = gts[i]
+            qual_str = str(int(qual))
+            records = (records + chrom + "\t" + str(pos + 1) + "\t" +
+                       "." + "\t" + alleles[0] + "\t")
+            if alt1 == alt2:
+                records += alleles[alt1] + "\t" + qual_str + "\tPASS\t.\tGT\t1/1\n"
+            elif alt1 == 0 and alt2 > 0:
+                records += alleles[alt2] + "\t" + qual_str + "\tPASS\t.\tGT\t0/1\n"
+            elif alt1 > 0 and alt2 > 0:
+                records += (alleles[alt1] + "," + alleles[alt2] + "\t" +
+                            qual_str + "\tPASS\t.\tGT\t1/2\n")
+            elif alt1 > 0 and alt2 == 0:
+                records += alleles[alt1] + "\t" + qual_str + "\tPASS\t.\tGT\t1/0\n"
+    return records
+
+
+def ref_best_filter(seqs, num_ms, gt_paths, k) -> list[int]:
+    """varMer::bestFilter (varMer.C:150-199).  Returns the indices of
+    the ORIGINAL records to replay (the caller owns record objects)."""
+    num_missing = UINT32_MAX
+    idxs = []
+    for ii in range(len(num_ms)):
+        if _all_missing_size_t(num_ms[ii], len(seqs[ii]), k):
+            continue
+        if num_ms[ii] == 0:                    # the zero double-push block
+            idxs.append(ii)                    # (varMer.C:161-163)
+            num_missing = 0
+        if num_ms[ii] < num_missing:
+            num_missing = num_ms[ii]
+            idxs = [ii]
+        elif num_ms[ii] == num_missing:
+            idxs.append(ii)
+    if len(idxs) == 0:
+        return []
+    gt_idxs = []
+    for ii in range(len(idxs)):
+        idx = idxs[ii]
+        for i in range(len(gt_paths[idx])):
+            if gt_paths[idx][i] > 0:
+                gt_idxs.append(i)
+    gt_idxs.sort()                             # list::sort + unique
+    out = []
+    for v in gt_idxs:
+        if not out or out[-1] != v:
+            out.append(v)
+    return out
+
+
+def ref_totdk(dkstrs, idx) -> float:
+    """varMer::getTotdK (varMer.C:648-659)."""
+    s = 0.0
+    for v in dkstrs[idx]:
+        s += v
+    return s
+
+
+def _multimap_insert_greater_int(mm, key: float, val: int) -> None:
+    """multimap<double,int,greater<int>>::insert (varMer.H:72): the
+    comparator takes ints, so double keys truncate toward zero when
+    compared; insert lands at upper_bound, i.e. AFTER existing
+    int-equal keys (insertion order preserved among equals)."""
+    pos = len(mm)
+    for j in range(len(mm)):
+        if int(key) > int(mm[j][0]):           # comp(new, elem)
+            pos = j
+            break
+    mm.insert(pos, (key, val))
+
+
+def ref_best_variant(seqs, num_ms, gt_paths, dkstrs, chrom, gts, k) -> str:
+    """varMer::bestVariant — -polish (varMer.C:400-467).  PLAIN scan:
+    no numM==0 block; empty test is numMissing == UINT32_MAX."""
+    num_missing = UINT32_MAX
+    idxs = []
+    for ii in range(len(num_ms)):
+        if _all_missing_size_t(num_ms[ii], len(seqs[ii]), k):
+            continue
+        if num_ms[ii] < num_missing:
+            num_missing = num_ms[ii]
+            idxs = [ii]
+        elif num_ms[ii] == num_missing:
+            idxs.append(ii)
+    if num_missing == UINT32_MAX:
+        return ""
+    if len(idxs) == 1:
+        return ref_hom_record(chrom, gts, gt_paths[idxs[0]])
+    elif len(idxs) > 1:
+        avg_ks = []
+        for i in range(len(idxs)):
+            idx = idxs[i]
+            _multimap_insert_greater_int(avg_ks, ref_totdk(dkstrs, idx), idx)
+        avg_k1, idx1 = avg_ks[0]
+        avg_k2, idx2 = avg_ks[1]
+        if avg_k1 == avg_k2:                   # DOUBLE compare (varMer.C:453)
+            if len(seqs[idx1]) >= len(seqs[idx2]):
+                return ref_het_record(chrom, gts, gt_paths[idx1], gt_paths[idx2])
+            else:
+                return ref_het_record(chrom, gts, gt_paths[idx2], gt_paths[idx1])
+        else:
+            return ref_hom_record(chrom, gts, gt_paths[idx1])
+    return ""
+
+
+def _better_strict_scan(num_ms) -> list[int]:
+    """Shared loop of betterVariant/strictPolish (varMer.C:216-230,
+    271-285): neutral (== refMissing) paths are EXCLUDED."""
+    ref_missing = num_ms[0]
+    num_missing = ref_missing
+    idxs = []
+    for ii in range(len(num_ms)):
+        if num_ms[ii] < num_missing:
+            num_missing = num_ms[ii]
+            idxs = [ii]
+        elif num_ms[ii] == num_missing and num_ms[ii] < ref_missing:
+            idxs.append(ii)
+    return idxs
+
+
+def _longest_seq_pick(seqs, idxs) -> int:
+    """Tie-break: longest sequence, strict > replaces (varMer.C:246-254)."""
+    idx = idxs[0]
+    seq_len_max = len(seqs[idx])
+    for ii in range(1, len(idxs)):
+        seq_len = len(seqs[idxs[ii]])
+        if seq_len > seq_len_max:
+            seq_len_max = seq_len
+            idx = idxs[ii]
+    return idx
+
+
+def ref_better_variant(seqs, num_ms, gt_paths, chrom, gts) -> str:
+    """varMer::betterVariant — -better (varMer.C:204-258)."""
+    if len(num_ms) == 0:
+        return ""
+    idxs = _better_strict_scan(num_ms)
+    if len(idxs) == 0:
+        return ""
+    if len(idxs) == 1:
+        return ref_hom_record(chrom, gts, gt_paths[idxs[0]])
+    return ref_hom_record(chrom, gts, gt_paths[_longest_seq_pick(seqs, idxs)])
+
+
+def ref_strict_polish(seqs, num_ms, gt_paths, chrom, gts) -> str:
+    """varMer::strictPolish — -strict (varMer.C:260-315): textually a
+    separate function in the reference but the identical algorithm."""
+    return ref_better_variant(seqs, num_ms, gt_paths, chrom, gts)
+
+
+def ref_loose_polish(seqs, num_ms, gt_paths, chrom, gts,
+                     first_record_save: str, log) -> str:
+    """varMer::loosePolish — -loose (varMer.C:317-395): neutral
+    (== refMissing) paths INCLUDED, so idxs[0] is the REF path when
+    nothing beats it."""
+    if len(num_ms) == 0:
+        return ""
+    ref_missing = num_ms[0]
+    num_missing = ref_missing
+    idxs = []
+    for ii in range(len(num_ms)):
+        if num_ms[ii] < num_missing:
+            num_missing = num_ms[ii]
+            idxs = [ii]
+        elif num_ms[ii] == num_missing and num_ms[ii] <= ref_missing:
+            idxs.append(ii)
+    if len(idxs) == 0:
+        return ""
+    idx = idxs[0]
+    if len(idxs) == 1:
+        return ref_hom_record(chrom, gts, gt_paths[idx])
+    if idxs[0] == 0 and len(idxs) == 2:        # REF + one tying ALT: silent
+        return ref_hom_record(chrom, gts, gt_paths[idxs[1]])
+    max_vars = 0
+    max_idx = idx
+    for ii in range(1, len(idxs)):
+        count = 0
+        idx = idxs[ii]
+        for i in range(len(gt_paths[idx])):
+            if gt_paths[idx][i] > 0:
+                count += 1
+        if count > max_vars:
+            max_vars = count
+            max_idx = idx
+    log.write("[ WARNING ] :: Multiple (%d) alternate pathes detected in a "
+              "path beginning with variant : %s" % (len(idxs), first_record_save))
+    log.write("[ WARNING ] :: Max. %d ALT variants selected\n" % max_vars)
+    return ref_hom_record(chrom, gts, gt_paths[max_idx])

@@ -34,10 +34,9 @@ def _path(seq, gt, num_m, dk=()):
     return p, s
 
 
-def test_best_variant_single_zero_missing_goes_het_branch_same_output():
-    """The double-push quirk: ONE zero-missing path enters idxs twice and
-    routes through the het branch; het(idx, idx) emits the same hom
-    records (varMer.C:161-176,434-462)."""
+def test_best_variant_single_zero_missing_is_hom():
+    """bestVariant's scan is PLAIN (varMer.C:406-421, no numM==0 block):
+    one zero-missing path enters idxs exactly once -> hom branch."""
     pg = _cluster()
     p0, s0 = _path("A" * 20, [0], 14)   # ref path all-missing -> excluded
     p1, s1 = _path("A" * 10 + "T" + "A" * 9, [1], 0)
@@ -45,15 +44,33 @@ def test_best_variant_single_zero_missing_goes_het_branch_same_output():
     assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t1/1\n"
 
 
-def test_best_variant_ref_ties_via_double_push_gives_het_0_1():
-    """A zero-missing ALT that ties the surviving ref path on int-truncated
-    totdK yields a 0/1 het — the faithful consequence of the double-push
-    plus multimap ordering (ref inserted first)."""
+def test_best_variant_zero_path_clears_pre_zero_survivors():
+    """A zero-missing ALT after a nonzero-missing ref path arrives via
+    the strict-< branch and CLEARS the earlier survivor (varMer.C:411-414)
+    -> single survivor -> hom 1/1, never a 0/1 het."""
     pg = _cluster()
     p0, s0 = _path("A" * 20, [0], 3)
     p1, s1 = _path("A" * 10 + "T" + "A" * 9, [1], 0)
     out = select.best_variant([p0, p1], [s0, s1], pg, K)
-    assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t0/1\n"
+    assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t1/1\n"
+
+
+def test_best_variant_verdict_repro_zero_path_wins():
+    """The round-4 judge repro: pre-zero path num_m=1/totdK=5.0, then a
+    zero-missing path totdK=0.3.  The reference's plain scan keeps ONLY
+    the zero path (idxs=[1]) and emits the correction; the old
+    bestFilter-style double-push kept [0,1,1] and the int-truncated
+    ranking picked the nonzero-missing path, dropping the correction."""
+    pg = _cluster()
+    p0, s0 = _path("A" * 20, [0], 1, dk=[5.0])
+    p1, s1 = _path("A" * 10 + "T" + "A" * 9, [1], 0, dk=[0.3])
+    out = select.best_variant([p0, p1], [s0, s1], pg, K)
+    assert out == "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT\t1/1\n"
+    # array twin agrees
+    out2 = select.select_block(
+        "polish", np.asarray([1, 0], np.int64), np.asarray([5.0, 0.3]),
+        np.asarray([20, 20], np.int64), np.asarray([[0], [1]], np.int64), pg, K)
+    assert out2 == out
 
 
 def test_best_variant_het_on_equal_totdk():
@@ -167,6 +184,24 @@ def test_filterlike_arr_matches_scalar_fuzz():
         got = select._min_missing_idxs_filterlike_arr(
             np.asarray(nm, np.int64), np.asarray(lens, np.int64), K)
         assert list(got) == want, (trial, nm, lens, got, want)
+
+
+def test_plain_arr_matches_scalar_fuzz():
+    """_min_missing_idxs_plain_arr reproduces the bestVariant plain scan
+    (idxs AND the num_missing sentinel) on randomized patterns."""
+    import random
+
+    rng = random.Random(456)
+    for trial in range(300):
+        P = rng.randint(1, 12)
+        nm = [rng.choice([0, 0, 1, 2, 3, 14]) for _ in range(P)]
+        lens = [rng.choice([3, 20, 25, 30]) for _ in range(P)]
+        paths = [VarPath("A" * L, [1], [0], [1]) for L in lens]
+        scores = [PathScore(m, np.zeros(0), np.zeros(0)) for m in nm]
+        want, want_m = select._min_missing_idxs_plain(paths, scores, K)
+        got, got_m = select._min_missing_idxs_plain_arr(
+            np.asarray(nm, np.int64), np.asarray(lens, np.int64), K)
+        assert list(got) == want and got_m == want_m, (trial, nm, lens)
 
 
 def test_vs_ref_arr_matches_scalar_fuzz():
