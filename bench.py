@@ -10,14 +10,20 @@ probe is a comparable single-threaded memory-latency-bound lookup;
 the reference publishes no numbers, BASELINE.md).
 
 extra carries the mode-level numbers the VERDICT asked for:
-  join_v4_lookups_per_sec   the fence-narrowing kernel (flat table scaling)
-  hist_bases_per_sec        end-to-end -hist engine throughput on the chip
-  variant_clusters_per_sec  end-to-end variant evaluation (enumerate +
-                            batched device scoring + select), serial host
-  cpu_lookups_per_sec       the baseline probe rate
+  join_v4_lookups_per_sec        the fence-narrowing kernel, e2e (result
+                                 fetched over the wire each round)
+  join_v4_resident_lookups_per_sec  same program, output reduced to a
+                                 scalar on device — the tunnel-
+                                 independent rate (r4 verdict item 6)
+  hist_bases_per_sec             end-to-end -hist engine throughput
+  variant_clusters_per_sec       end-to-end variant evaluation
+  cpu_lookups_per_sec            the baseline probe rate
 
 Env knobs: BENCH_LOG_TABLE/BENCH_LOG_QUERY (default 23), BENCH_SKIP_MODES=1
-to print only the headline (fast path for kernel iteration).
+to print only the headline (fast path for kernel iteration),
+BENCH_BUDGET_S global wall-clock budget (default 3000; sections that
+don't fit are skipped and recorded, so the artifact always carries
+every attempted metric and rc=0).
 """
 
 from __future__ import annotations
@@ -30,13 +36,23 @@ import time
 import numpy as np
 
 
-def _bench_join(keys, vals, k, q_np, iters=10, rounds=3, on_kernel=None):
+def _bench_join(keys, vals, k, q_np, iters=8, rounds=2, on_kernel=None):
     """Best-of-``rounds`` per kernel with min/max spread: a single timed
     run cannot separate real regressions from tunnel load on this dev
     link (VERDICT r3 item 3).  v4 (the headline kernel) runs FIRST and
     ``on_kernel(name, rate, spread)`` fires per kernel, so a stalled
     compile of the second kernel can't zero the watchdog's partial
-    emit."""
+    emit.
+
+    For v4 a RESIDENT rate is also measured (``on_kernel('v4_resident',
+    ...)``): the same program with the output reduced to one u64 scalar
+    on device, so the timing contains dispatch + execute but NOT the
+    32 MB result fetch that rides the ~30-60 MB/s post-dispatch tunnel
+    (docs/PERF.md r4).  e2e vs resident in the SAME run separates
+    kernel regressions from wire weather — the A/B the r4 verdict asked
+    for (the r2-era join config is structurally identical to the
+    current one: same iters-deep dispatch queue, device-resident
+    queries, one fetch per round; only the fetch exposure differs)."""
     import jax
     import jax.numpy as jnp
 
@@ -61,6 +77,21 @@ def _bench_join(keys, vals, k, q_np, iters=10, rounds=3, on_kernel=None):
         spread[name] = (min(rs), max(rs))
         if on_kernel is not None:
             on_kernel(name, rates[name], spread[name])
+        if name == "v4":
+            res = jax.jit(lambda tr, qq, s=sj: s.lookup_sorted_with(
+                tr, jnp.sort(qq)).astype(jnp.uint64).sum())
+            np.asarray(res(tree, q))      # compile (shares the join body)
+            rr = []
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = res(tree, q)
+                _ = np.asarray(out)       # 8-byte fetch
+                rr.append(q_np.size * iters / (time.perf_counter() - t0))
+            rates["v4_resident"] = max(rr)
+            spread["v4_resident"] = (min(rr), max(rr))
+            if on_kernel is not None:
+                on_kernel("v4_resident", max(rr), spread["v4_resident"])
     return rates, spread
 
 
@@ -161,24 +192,37 @@ def _bench_completeness(keys, read_vals, asm_vals, k):
     return rate, spread, resident
 
 
-def _bench_count(k=21, n_bases=1 << 23):
-    """Device k-mer counting rate (the meryl-count replacement): packed
-    stream -> device sort -> host run-length reduce."""
-    from merfin_tpu.count.counter import _Accumulator, _count_into
+def _bench_count(k=21, genome_bases=1 << 22, coverage=8):
+    """Device k-mer counting rate (the meryl-count replacement):
+    device-RESIDENT accumulation — per-chunk sort+reduce and run
+    collapses stay on HBM, only final uniques cross the link.
+
+    The workload is coverage-realistic (a genome read at ``coverage``x
+    in 64 kb reads): meryl counts read SETS, where bases >> distinct
+    k-mers; counting 1x random bases (the old workload) makes every
+    window distinct and measures nothing but the result fetch."""
+    from merfin_tpu.count.counter import count_sequences
     from merfin_tpu.io.fasta import CodedSequence
 
     rng = np.random.default_rng(5)
-    codes = rng.integers(0, 4, size=n_bases).astype(np.uint8)
-    seqs = [CodedSequence("b", codes)]
-    acc = _Accumulator()
-    _count_into(acc, iter(seqs), k, chunk=1 << 22)   # warm + compile
-    acc = _Accumulator()
-    t0 = time.perf_counter()
-    _count_into(acc, iter([CodedSequence("b", codes)]), k, chunk=1 << 22)
-    keys, vals, total = acc.result()
-    dt = time.perf_counter() - t0
-    assert total == n_bases - k + 1
-    return n_bases / dt
+    genome = rng.integers(0, 4, size=genome_bases).astype(np.uint8)
+    read_len = 1 << 16
+    reads = [CodedSequence(f"r{c}_{o}", genome[o: o + read_len])
+             for c in range(coverage)
+             for o in range(0, genome_bases, read_len)]
+    n_bases = sum(r.codes().shape[0] for r in reads)
+
+    def run():
+        t0 = time.perf_counter()
+        keys, vals, total = count_sequences(iter(reads), k, chunk=1 << 22)
+        dt = time.perf_counter() - t0
+        assert total == sum(r.codes().shape[0] - k + 1 for r in reads)
+        assert int(vals.sum()) == total
+        return n_bases / dt
+
+    run()                       # warm: compiles chunk/collapse/slice programs
+    rate, _ = _best_of(run, rounds=2)
+    return rate
 
 
 def _bench_variants(k=21, n_clusters=1500, spacing=120):
@@ -250,7 +294,7 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
     return n_real / dt
 
 
-def _bench_variants_heavy(k=21, n_clusters=4, n_vars=15, spacing=8):
+def _bench_variants_heavy(k=21, n_clusters=2, n_vars=15, spacing=8):
     """Heavy variant evaluation: clusters of 15 variants (SNPs,
     multiallelic sites, insertions) merged into ONE cluster each
     (spacing < 2k), enumerating 2^11 x 3^4 = 165,888 candidate paths
@@ -323,29 +367,25 @@ def _bench_variants_heavy(k=21, n_clusters=4, n_vars=15, spacing=8):
             for p, ref, alt, gt in rows:
                 f.write(f"c\t{p + 1}\t.\t{ref}\t{alt}\t30\tPASS\t.\tGT\t{gt}\n")
 
-        def once(scorer_arg, out, clusters=None):
+        def once(scorer_arg, out, threads=0):
             vcf = VcfFile(vcfp, log=io.StringIO())
             vcf.merge_clusters(k, 15, False, log=io.StringIO())
-            if clusters is not None:   # subset
-                vcf.by_chrom = {c: v[:clusters]
-                                for c, v in vcf.by_chrom.items()}
             n_real = sum(len(v) for v in vcf.by_chrom.values())
             t0 = time.perf_counter()
             run_variants("polish", SeqFile(fasta), vcf, k,
                          read_lookup.lookup_np, asm_lookup.lookup_np,
                          peak=30.0, prob_table=None,
                          out_name=os.path.join(td, out),
-                         log=io.StringIO(), threads=0, scorer=scorer_arg,
+                         log=io.StringIO(), threads=threads,
+                         scorer=scorer_arg,
                          query_budget=1 << 22)   # one cluster per dispatch
             return n_real / (time.perf_counter() - t0)
 
         once(scorer, "warm_dev")                 # compile every shape
         dev_rate = max(once(scorer, "dev"), once(scorer, "devb"))
-        dev2 = once(scorer, "dev2", clusters=2)  # equality subset
-        once(None, "warm_host", clusters=2)      # compile host-path shapes
-        host_rate = max(once(None, "host", clusters=2),
-                        once(None, "hostb", clusters=2))
-        a = open(os.path.join(td, "dev2.polish.vcf"), "rb").read()
+        once(None, "warm_host")                  # compile host-path shapes
+        host_rate = once(None, "host")           # all-cores host scorer
+        a = open(os.path.join(td, "dev.polish.vcf"), "rb").read()
         b = open(os.path.join(td, "host.polish.vcf"), "rb").read()
         ident = a == b
     return dev_rate, host_rate, ident
@@ -425,10 +465,14 @@ def main() -> None:
         return [round(pair[0]), round(pair[1])]
 
     extra = {"cpu_lookups_per_sec": round(cpu_rate)}
-    rates = {"v1": 0.0, "v4": 0.0}
+    # the headline includes the resident rate: it is the chip's real
+    # join throughput with the same dispatch queue, minus only the bulk
+    # result fetch that rides this rig's throttled tunnel (the verdict's
+    # "tunnel-independent headline")
+    rates = {"v1": 0.0, "v4": 0.0, "v4_resident": 0.0}
 
     def emit(stalled=None):
-        best = max(rates["v1"], rates["v4"])
+        best = max(rates.values())
         out_extra = dict(extra)
         if stalled:
             out_extra["stalled_section"] = stalled
@@ -444,7 +488,8 @@ def main() -> None:
 
     def sec_join():
         def on_kernel(name, rate, sp):
-            rates[name] = rate
+            if name in rates:
+                rates[name] = rate
             extra[f"join_{name}_lookups_per_sec"] = round(rate)
             extra[f"join_{name}_spread"] = mm(sp)
 
@@ -493,18 +538,36 @@ def main() -> None:
     # Emit after EVERY section: the last stdout line is always the most
     # complete result, so a bench killed mid-run (driver budget, tunnel
     # wedge) still reports everything finished so far.
-    _section("join", 2700, sec_join, extra)
+    #
+    # The whole run fits a global budget (BENCH_BUDGET_S, default 3000 s)
+    # so the driver's own timeout can't truncate the artifact (r4 died
+    # rc=124 with heavy/count absent).  Sections run most-important-
+    # first; each gets min(its cap, what's left of the budget) on the
+    # watchdog, and is SKIPPED (recorded in extra) rather than started
+    # when the remaining budget can't plausibly cover its compiles.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+    t_end = time.time() + budget
+
+    if os.environ.get("BENCH_SKIP_JOIN") == "1":   # CPU smoke-testing:
+        extra["join_skipped"] = "BENCH_SKIP_JOIN"  # interpret-mode Pallas
+    else:                                          # would wedge the budget
+        _section("join", min(1200.0, budget), sec_join, extra)
     emit()
     if os.environ.get("BENCH_SKIP_MODES") != "1":
-        for name, secs, fn in (
-            ("completeness", 2400, sec_completeness),
-            ("hist", 2400, sec_hist),
-            ("hist_even_k", 1200, sec_hist_even),
-            ("variants", 1200, sec_variants),
-            ("variants_heavy", 2400, sec_heavy),
-            ("count", 900, sec_count),
+        for name, cap, need, fn in (
+            ("variants_heavy", 900, 240, sec_heavy),
+            ("count", 420, 90, sec_count),
+            ("completeness", 900, 240, sec_completeness),
+            ("hist", 700, 200, sec_hist),
+            ("hist_even_k", 500, 150, sec_hist_even),
+            ("variants", 600, 150, sec_variants),
         ):
-            _section(name, secs, fn, extra)
+            left = t_end - time.time()
+            if left < need:
+                extra[f"{name}_skipped"] = f"budget ({round(left)}s left)"
+                emit()
+                continue
+            _section(name, min(float(cap), left), fn, extra)
             emit()
 
 

@@ -23,7 +23,31 @@ from merfin_tpu.kcore.pack import kmers_from_codes_np
 
 
 def _merge_sorted(a_keys, a_vals, b_keys, b_vals):
-    """Merge two sorted unique (key, val) arrays, summing duplicates."""
+    """Merge two sorted unique (key, val) arrays, summing duplicates.
+
+    Native path: one linear two-pointer C pass (mt_merge_counts) — the
+    O(n log n) argsort merge was the counter's host wall (r4 verdict
+    item 7); numpy fallback keeps the pure-python install working."""
+    from merfin_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "mt_merge_counts"):
+        import ctypes
+
+        na, nb = int(a_keys.size), int(b_keys.size)
+        ak = np.ascontiguousarray(a_keys, np.uint64)
+        av = np.ascontiguousarray(a_vals, np.uint64)
+        bk = np.ascontiguousarray(b_keys, np.uint64)
+        bv = np.ascontiguousarray(b_vals, np.uint64)
+        ok = np.empty(na + nb, np.uint64)
+        ov = np.empty(na + nb, np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        m = lib.mt_merge_counts(
+            ak.ctypes.data_as(u64p), av.ctypes.data_as(u64p), na,
+            bk.ctypes.data_as(u64p), bv.ctypes.data_as(u64p), nb,
+            ok.ctypes.data_as(u64p), ov.ctypes.data_as(u64p))
+        return ok[:m], ov[:m]
+
     keys = np.concatenate([a_keys, b_keys])
     vals = np.concatenate([a_vals, b_vals])
     order = np.argsort(keys, kind="stable")
@@ -102,6 +126,153 @@ class _Accumulator:
         return keys, vals, self.total
 
 
+class _DeviceCountAcc:
+    """Device-RESIDENT count accumulation.
+
+    The old device path fetched every chunk's full sorted window array
+    (8 B/base) — on any link that dwarfs the compute (meryl streams
+    bases and keeps counts in RAM; fetching windows inverts that).
+    Here each chunk reduces to sorted (unique key, count) runs ON
+    DEVICE in fixed shapes (sentinel-padded, so every chunk reuses one
+    compiled program), every ``collapse_runs`` runs merge in one device
+    sort program, and only the FINAL unique set crosses the link —
+    wire bytes scale with distinct k-mers, not bases.
+    """
+
+    _MAX = 0xFFFFFFFFFFFFFFFF
+
+    def __init__(self, k: int, chunk: int, collapse_runs: int = 8):
+        from merfin_tpu.config import ensure_x64
+
+        ensure_x64()
+        import jax
+        import jax.numpy as jnp
+
+        from merfin_tpu.ops.kmer_ops import kmer_windows, unpack_transfer
+
+        self.k = k
+        self.chunk = chunk
+        self.R = collapse_runs
+        # binary-counter on device: levels[i] holds < R runs of
+        # R^i * W padded entries; R runs collapse into one level-i+1 run
+        self.levels: list[list] = [[]]
+        # runs whose collapse would exceed max_entries are fetched and
+        # merged on the host instead (keeps HBM bounded on huge inputs)
+        self.max_entries = 1 << 26
+        self._host_keys = np.zeros(0, np.uint64)
+        self._host_vals = np.zeros(0, np.uint64)
+        self._totals: list = []  # device scalars (summed at drain)
+        self._slice_fns: dict = {}
+        L = chunk + k - 1
+        MAX = jnp.uint64(self._MAX)
+
+        def runlength(sk, sv_cumsum_dtype=None):
+            """Sorted keys [W] -> (unique keys padded with MAX, counts).
+            Fixed-shape: boundary positions sort to the front, count of
+            run j = bp[j+1] - bp[j]; pads produce count 0 / key MAX."""
+            W = sk.shape[0]
+            pos = jnp.arange(W, dtype=jnp.int32)
+            b = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+            bp = jnp.sort(jnp.where(b, pos, np.int32(W)))
+            nxt = jnp.append(bp[1:], jnp.int32(W))
+            keys = jnp.where(bp < W, sk[jnp.minimum(bp, W - 1)], MAX)
+            return keys, bp, nxt
+
+        @jax.jit
+        def chunk_count(planes, vbits):
+            codes = unpack_transfer(planes, vbits, L)[0]
+            fmer, rmer, valid = kmer_windows(codes, k)
+            canon = jnp.where(valid, jnp.minimum(fmer, rmer), MAX)
+            sk = jnp.sort(canon)
+            keys, bp, nxt = runlength(sk)
+            counts = (nxt - bp).astype(jnp.uint32)
+            counts = jnp.where(keys == MAX, jnp.uint32(0), counts)
+            return keys, counts, jnp.sum(valid)
+
+        @jax.jit
+        def collapse(ks, vs):
+            """ks [R, W] u64 / vs [R, W] uint -> one merged padded run.
+            Pad keys are MAX with value 0, so their sums vanish and they
+            sort to the tail — sortedness and shape are preserved."""
+            k2 = ks.reshape(-1)
+            v2 = vs.reshape(-1).astype(jnp.uint64)
+            sk, sv = jax.lax.sort((k2, v2), num_keys=1)
+            W2 = sk.shape[0]
+            keys, bp, nxt = runlength(sk)
+            cv = jnp.concatenate([jnp.zeros(1, jnp.uint64), jnp.cumsum(sv)])
+            sums = cv[nxt] - cv[bp]
+            return keys, sums
+
+        self._chunk_fn = chunk_count
+        self._collapse_fn = collapse
+        import jax as _jax
+
+        self._jnp = jnp
+        self._jax = _jax
+
+    def add_codes(self, buf: np.ndarray) -> None:
+        """Dispatch one packed chunk (codes u8 [chunk + k - 1], code 4
+        separators/pads) — returns without syncing the device."""
+        from merfin_tpu.kcore.pack import pack_transfer_np
+
+        planes, vbits = pack_transfer_np(buf.reshape(1, -1))
+        keys, vals, n_valid = self._chunk_fn(planes, vbits)
+        self._totals.append(n_valid)
+        self._push((keys, vals), 0)
+
+    def _push(self, run, lvl: int) -> None:
+        while len(self.levels) <= lvl:
+            self.levels.append([])
+        self.levels[lvl].append(run)
+        if len(self.levels[lvl]) < self.R:
+            return
+        runs, self.levels[lvl] = self.levels[lvl], []
+        out_entries = self.R * int(runs[0][0].shape[0])
+        if out_entries > self.max_entries:
+            # HBM-bounded: overflow these (already deduped) runs to the
+            # host accumulator via the native linear merge
+            for r in runs:
+                rk, rv = self._fetch_run(*r)
+                self._host_keys, self._host_vals = _merge_sorted(
+                    self._host_keys, self._host_vals, rk, rv)
+            return
+        jnp = self._jnp
+        ks = jnp.stack([r[0] for r in runs])
+        vs = jnp.stack([r[1] for r in runs])
+        self._push(self._collapse_fn(ks, vs), lvl + 1)
+
+    def _fetch_run(self, keys, vals):
+        """Fetch one padded run's live prefix.  Slice sizes quantize to
+        2^20 so the link never carries the full pad and the number of
+        compiled slice programs stays tiny."""
+        jnp = self._jnp
+        n = int(jnp.sum(keys != jnp.uint64(self._MAX)))
+        if n == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+        W = keys.shape[0]
+        q = min(W, ((n + (1 << 20) - 1) >> 20) << 20)
+        fn = self._slice_fns.get((W, q))
+        if fn is None:
+            fn = self._jax.jit(lambda a, b: (a[:q], b[:q]))
+            self._slice_fns[(W, q)] = fn
+        kq, vq = fn(keys, vals)
+        return (np.asarray(kq)[:n].astype(np.uint64),
+                np.asarray(vq)[:n].astype(np.uint64))
+
+    def drain(self) -> tuple[np.ndarray, np.ndarray, int]:
+        """Fetch + host-merge the remaining runs (native linear merge)."""
+        keys, vals = self._host_keys, self._host_vals
+        for level in reversed(self.levels):
+            for r in level:
+                rk, rv = self._fetch_run(*r)
+                keys, vals = _merge_sorted(keys, vals, rk, rv)
+        total = int(sum(int(t) for t in self._totals))
+        self.levels, self._totals = [[]], []
+        self._host_keys = np.zeros(0, np.uint64)
+        self._host_vals = np.zeros(0, np.uint64)
+        return keys, vals, total
+
+
 def _chunk_canonical_counts_np(codes: np.ndarray, k: int):
     fmer, rmer, valid = kmers_from_codes_np(codes, k)
     canon = np.minimum(fmer, rmer)[valid]
@@ -145,6 +316,54 @@ def _make_device_step(k: int, chunk_len: int):
     return step
 
 
+def _packed_chunks(seqs: Iterable[Sequence], k: int, chunk: int):
+    """Pack sequences into fixed-size chunks with k-1 invalid separators
+    so that windows never span two sequences — one device dispatch per
+    full chunk regardless of read length (a per-read dispatch would be
+    10^6 host round-trips for a read set).  Yields u8 [chunk + k - 1]
+    buffers padded with code 4; a sequence split across chunks carries a
+    k-1 overlap so every window is counted exactly once."""
+
+    def fresh():
+        return np.full(chunk + k - 1, 4, dtype=np.uint8)
+
+    buf = fresh()
+    fill = 0
+    for seq in seqs:
+        codes = seq.codes()
+        n = codes.shape[0]
+        if n < k:
+            continue
+        pos = 0
+        while pos < n:
+            if fill >= chunk:   # keep >= k codes of space before writing
+                yield buf
+                buf, fill = fresh(), 0
+            space = chunk + k - 1 - fill
+            take = min(n - pos, space)
+            buf[fill : fill + take] = codes[pos : pos + take]
+            fill += take
+            if pos + take >= n:
+                # end of sequence: leave a k-1 separator gap
+                fill = min(fill + k - 1, chunk + k - 1)
+                break
+            # continue the same sequence in the next chunk with k-1 overlap
+            yield buf
+            buf, fill = fresh(), 0
+            pos += take - (k - 1)
+    if fill:
+        yield buf
+
+
+def _make_device_acc(k: int, chunk: int, log):
+    try:
+        return _DeviceCountAcc(k, chunk)
+    except Exception as e:  # pragma: no cover - device unavailable
+        print(f"count: device-resident path unavailable ({e}); "
+              "falling back", file=log)
+        return None
+
+
 def count_sequences(
     seqs: Iterable[Sequence],
     k: int,
@@ -152,9 +371,19 @@ def count_sequences(
     use_device: bool = True,
     log=sys.stderr,
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """Count canonical k-mers; returns (sorted keys, values, total)."""
+    """Count canonical k-mers; returns (sorted keys, values, total).
+
+    Device path: fully device-resident accumulation (_DeviceCountAcc) —
+    per-chunk sort+reduce and run collapses stay on HBM; only the final
+    unique set is fetched."""
+    if use_device:
+        dacc = _make_device_acc(k, chunk, log)
+        if dacc is not None:
+            for buf in _packed_chunks(seqs, k, chunk):
+                dacc.add_codes(buf)
+            return dacc.drain()
     acc = _Accumulator()
-    _count_into(acc, seqs, k, chunk, use_device, log)
+    _count_into(acc, seqs, k, chunk, use_device=False, log=log)
     return acc.result()
 
 
@@ -166,7 +395,8 @@ def _count_into(
     use_device: bool = True,
     log=sys.stderr,
 ) -> None:
-    """Feed chunked canonical-count batches into an accumulator."""
+    """Feed chunked canonical-count batches into a HOST accumulator
+    (the spill/out-of-core path; the in-RAM path uses _DeviceCountAcc)."""
     step = None
     if use_device:
         try:
@@ -174,46 +404,12 @@ def _count_into(
         except Exception as e:  # pragma: no cover - device unavailable
             print(f"count: device path unavailable ({e}); using numpy", file=log)
 
-    # Pack sequences into fixed-size chunks with k-1 invalid separators so
-    # that windows never span two sequences — one device dispatch per full
-    # chunk regardless of read length (a per-read dispatch would be 10^6
-    # host round-trips for a read set).
-    buf = np.full(chunk + k - 1, 4, dtype=np.uint8)
-    fill = 0
-
-    def flush():
-        nonlocal fill
-        if fill == 0:
-            return
+    for buf in _packed_chunks(seqs, k, chunk):
         if step is not None:
             keys, vals = _chunk_canonical_counts_device(buf, k, step)
         else:
-            keys, vals = _chunk_canonical_counts_np(buf[: fill], k)
+            keys, vals = _chunk_canonical_counts_np(buf, k)
         acc.add(keys, vals)
-        buf[:] = 4
-        fill = 0
-
-    for seq in seqs:
-        codes = seq.codes()
-        n = codes.shape[0]
-        if n < k:
-            continue
-        pos = 0
-        while pos < n:
-            if fill >= chunk:   # keep >= k codes of space before writing
-                flush()
-            space = chunk + k - 1 - fill
-            take = min(n - pos, space)
-            buf[fill : fill + take] = codes[pos : pos + take]
-            fill += take
-            if pos + take >= n:
-                # end of sequence: leave a k-1 separator gap
-                fill = min(fill + k - 1, chunk + k - 1)
-                break
-            # continue the same sequence in the next chunk with k-1 overlap
-            flush()
-            pos += take - (k - 1)
-    flush()
 
 
 def pack_stream(codes: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
@@ -273,6 +469,18 @@ def count_files(
         return prefetch_iter(blocks)
 
     budget = int(memory_gb * 1024**3) if memory_gb is not None else None
+    if not multi and budget is None and use_device:
+        # in-RAM single-host build: device-resident accumulation (the
+        # spill/out-of-core and multi-host paths keep host runs)
+        dacc = _make_device_acc(k, chunk, log)
+        if dacc is not None:
+            for buf in _packed_chunks(all_seqs(), k, chunk):
+                dacc.add_codes(buf)
+            keys, vals, total = dacc.drain()
+            if keys.size and int(vals.max()) > 0xFFFFFFFF:
+                raise ValueError("k-mer count exceeds uint32 (unsupported)")
+            return KmerDB.create(out_db, k, keys, vals.astype(np.uint32),
+                                 total=total)
     spill_base = None
     if multi:
         # per-rank spill dirs on the shared filesystem (an explicit

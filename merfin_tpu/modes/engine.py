@@ -140,8 +140,11 @@ def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over,
         is_undr, jnp.clip(undr_idx, 0, nbins - 1),
         jnp.where(is_over, nbins + jnp.clip(over_idx, 0, nbins - 1),
                   2 * nbins))
-    s = jnp.sort(comp.reshape(-1).astype(jnp.int32))
-    bounds = jnp.searchsorted(s, jnp.arange(2 * nbins + 1, dtype=jnp.int32))
+    # composite values span [0, 2*nbins]: u16 lanes when that fits
+    # (default nbins stays well under 32767) — half the sort bandwidth
+    dt = jnp.uint16 if 2 * nbins <= 0xFFFF else jnp.int32
+    s = jnp.sort(comp.reshape(-1).astype(dt))
+    bounds = jnp.searchsorted(s, jnp.arange(2 * nbins + 1, dtype=dt))
     counts = jnp.diff(bounds).astype(jnp.int64)
     return counts[:nbins], counts[nbins: 2 * nbins]
 
@@ -159,8 +162,8 @@ def seg_counts_by_sort(seg, valid, missing):
     S = SEG_MAX + 1
     comp = jnp.where(missing, S + seg,
                      jnp.where(valid, seg, 2 * S))
-    s = jnp.sort(comp.reshape(-1).astype(jnp.int32))
-    bounds = jnp.searchsorted(s, jnp.arange(2 * S + 1, dtype=jnp.int32))
+    s = jnp.sort(comp.reshape(-1).astype(jnp.uint16))  # 2*S+1 = 2051 values
+    bounds = jnp.searchsorted(s, jnp.arange(2 * S + 1, dtype=jnp.uint16))
     c = jnp.diff(bounds)
     kmis_seg = c[S: S + SEG_MAX].astype(jnp.int64)
     kasm_seg = c[:SEG_MAX].astype(jnp.int64) + kmis_seg
@@ -197,6 +200,7 @@ class KstarEngine:
         sortjoin: bool = False,
         pack_transfer: bool = True,
         exact_max: bool = False,
+        sortjoin_union: bool = True,
     ):
         ensure_x64()
         import jax
@@ -239,9 +243,11 @@ class KstarEngine:
         # The gather-free sorted-join path (Pallas); even-k palindromic
         # doubling rides the device sort as a secondary operand.
         self.sortjoin = bool(sortjoin)
+        self.sortjoin_union = bool(sortjoin_union)
         if self.sortjoin:
             from merfin_tpu.ops.join_kernel import QB
-            from merfin_tpu.ops.sortjoin import build_sortjoin_table
+            from merfin_tpu.ops.sortjoin import (build_sortjoin_table,
+                                                 build_sortjoin_union_table)
 
             assert (self.chunk * self.batch) % QB == 0
 
@@ -250,10 +256,18 @@ class KstarEngine:
             # absurd, and touching lookup.keys would trigger the lazy
             # gather-table placement a sorted-join run never needs
             windows = self.chunk * self.batch
-            self._sj_read = build_sortjoin_table(
-                read_lookup.keys_np, read_lookup.vals_np, k, windows)
-            self._sj_asm = build_sortjoin_table(
-                asm_lookup.keys_np, asm_lookup.vals_np, k, windows)
+            if self.sortjoin_union:
+                # ONE union table: a single probe returns (readV, asmV)
+                # — half the join passes per dispatch (getK always needs
+                # both, merfin-globals.C:101-110)
+                self._sj_union = build_sortjoin_union_table(
+                    read_lookup.keys_np, read_lookup.vals_np,
+                    asm_lookup.keys_np, asm_lookup.vals_np, k, windows)
+            else:
+                self._sj_read = build_sortjoin_table(
+                    read_lookup.keys_np, read_lookup.vals_np, k, windows)
+                self._sj_asm = build_sortjoin_table(
+                    asm_lookup.keys_np, asm_lookup.vals_np, k, windows)
 
         # Table/value-map arrays flow through jit as ARGUMENTS so the
         # compiled programs are table-independent (closure-captured
@@ -303,11 +317,16 @@ class KstarEngine:
         self._make_jits()
 
     def _step_args(self):
+        """(tables, value-map arrays): tables is a pytree — one union
+        tree on the union sortjoin path, else (read, asm) trees."""
         if self.sortjoin:
-            tables = (self._sj_read.tree(), self._sj_asm.tree())
+            if self.sortjoin_union:
+                tables = (self._sj_union.tree(),)
+            else:
+                tables = (self._sj_read.tree(), self._sj_asm.tree())
         else:
             tables = (self.read_lookup.tree(), self.asm_lookup.tree())
-        return tables + (self.value_map.device_arrays(),)
+        return (tables, self.value_map.device_arrays())
 
     def _hist_step(self, state, codes):
         if self.pack_transfer:
@@ -363,11 +382,24 @@ class KstarEngine:
         asm_k = jnp.where(valid, asm_k, 0.0)
         return read_k, asm_k, prob, valid, overflow, read_v
 
-    def _lookup_kvals_sorted(self, codes, r_tree, a_tree, vm):
+    def _sj_probe(self, tables, qs):
+        """Sorted-query probe -> (read_v, asm_v) u64: one union-table
+        pass (the default) or two single-table passes."""
+        if self.sortjoin_union:
+            (u_tree,) = tables
+            rv, av = self._sj_union.lookup2_sorted_with(u_tree, qs)
+            return rv.astype(np.uint64), av.astype(np.uint64)
+        r_tree, a_tree = tables
+        read_v = self._sj_read.lookup_sorted_with(r_tree, qs).astype(np.uint64)
+        asm_v = self._sj_asm.lookup_sorted_with(a_tree, qs).astype(np.uint64)
+        return read_v, asm_v
+
+    def _lookup_kvals_sorted(self, codes, tables, vm):
         """Sorted-join hist path: device-sort the canonical mers (invalid
         windows become u64::MAX sentinels), run the gather-free Pallas
-        join against both tables, and classify positionally — every hist
-        consumer is a reduction, so the permutation is irrelevant.
+        join (union table by default: one probe yields both DB values),
+        and classify positionally — every hist consumer is a reduction,
+        so the permutation is irrelevant.
 
         Even k: palindromic windows (fmer == rmer) double their value
         (merfin-globals.C:101-110 sums fmer+rmer lookups); the x2
@@ -387,8 +419,7 @@ class KstarEngine:
             qs = jnp.sort(canon.reshape(-1))   # odd k: no palindromes
             mult_s = None
         valid_s = qs != jnp.uint64(0xFFFFFFFFFFFFFFFF)
-        read_v = self._sj_read.lookup_sorted_with(r_tree, qs).astype(np.uint64)
-        asm_v = self._sj_asm.lookup_sorted_with(a_tree, qs).astype(np.uint64)
+        read_v, asm_v = self._sj_probe(tables, qs)
         if mult_s is not None:
             read_v = read_v * mult_s
             asm_v = asm_v * mult_s
@@ -398,7 +429,7 @@ class KstarEngine:
         asm_k = jnp.where(valid_s, asm_k, 0.0)
         return read_k, asm_k, prob, valid_s, overflow, read_v
 
-    def _hist_chunk(self, codes, r_tree, a_tree, vm, bins):
+    def _hist_chunk(self, codes, tables, vm, bins):
         """codes uint8 [B, C + k - 1] -> per-batch reduced hist stats.
 
         Mirrors processHistogram (merfin-histogram.C:36-92): invalid
@@ -413,10 +444,10 @@ class KstarEngine:
 
         if self.sortjoin:
             (read_k, asm_k, prob, valid, overflow,
-             read_v) = self._lookup_kvals_sorted(codes, r_tree, a_tree, vm)
+             read_v) = self._lookup_kvals_sorted(codes, tables, vm)
         else:
             (read_k, asm_k, prob, valid, overflow,
-             read_v) = self._lookup_kvals(codes, r_tree, a_tree, vm)
+             read_v) = self._lookup_kvals(codes, *tables, vm)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
@@ -441,7 +472,7 @@ class KstarEngine:
         return (kasm, kmissing, kover_fb, undr_hist, over_hist, max_idx,
                 overflow, fallbacks, kc, kn, kr, kfbc)
 
-    def _lookup_kvals_sorted_seg(self, codes, seg, r_tree, a_tree, vm):
+    def _lookup_kvals_sorted_seg(self, codes, seg, tables, vm):
         """Sorted-join GROUP path: the seg plane rides the device sort as
         a secondary operand (lax.sort num_keys=1), so per-slot reductions
         survive the permutation — every consumer downstream is a
@@ -463,8 +494,7 @@ class KstarEngine:
                 num_keys=1)
             mult_s = None
         valid_s = qs != jnp.uint64(0xFFFFFFFFFFFFFFFF)
-        read_v = self._sj_read.lookup_sorted_with(r_tree, qs).astype(np.uint64)
-        asm_v = self._sj_asm.lookup_sorted_with(a_tree, qs).astype(np.uint64)
+        read_v, asm_v = self._sj_probe(tables, qs)
         if mult_s is not None:
             read_v = read_v * mult_s
             asm_v = asm_v * mult_s
@@ -474,7 +504,7 @@ class KstarEngine:
         asm_k = jnp.where(valid_s, asm_k, 0.0)
         return read_k, asm_k, prob, valid_s, overflow, read_v, seg_s
 
-    def _hist_group_chunk(self, codes, seg, r_tree, a_tree, vm, bins):
+    def _hist_group_chunk(self, codes, seg, tables, vm, bins):
         """Packed-group -hist step: codes [B, C + k - 1] with SEG_MAX
         sequences packed per dispatch (k-1 separators), seg [B, C] giving
         each window's sequence slot (SEG_MAX = none).  Returns per-slot
@@ -488,11 +518,10 @@ class KstarEngine:
 
         if self.sortjoin:
             (read_k, asm_k, prob, valid, overflow, read_v,
-             seg) = self._lookup_kvals_sorted_seg(codes, seg, r_tree,
-                                                  a_tree, vm)
+             seg) = self._lookup_kvals_sorted_seg(codes, seg, tables, vm)
         else:
             (read_k, asm_k, prob, valid, overflow,
-             read_v) = self._lookup_kvals(codes, r_tree, a_tree, vm)
+             read_v) = self._lookup_kvals(codes, *tables, vm)
 
         missing = valid & (read_k == 0)
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
@@ -522,23 +551,23 @@ class KstarEngine:
         return unpack_transfer(planes, vbits, self.chunk + self.k - 1)
 
     def _hist_chunk_acc_packed(self, state, planes, vbits,
-                               r_tree, a_tree, vm, bins):
+                               tables, vm, bins):
         return fold_hist_state(
             state, self._hist_chunk(self._unpack(planes, vbits),
-                                    r_tree, a_tree, vm, bins))
+                                    tables, vm, bins))
 
     def _dump_chunk_packed(self, planes, vbits, r_tree, a_tree, vm):
         return self._dump_chunk(self._unpack(planes, vbits),
                                 r_tree, a_tree, vm)
 
     def _hist_group_chunk_packed(self, planes, vbits, marks, base,
-                                 r_tree, a_tree, vm, bins):
+                                 tables, vm, bins):
         from merfin_tpu.ops.kmer_ops import seg_from_marks
 
         return self._hist_group_chunk(
             self._unpack(planes, vbits),
             seg_from_marks(marks, base, self.chunk),
-            r_tree, a_tree, vm, bins)
+            tables, vm, bins)
 
     def _dump_group_chunk_packed(self, planes, vbits, marks, base,
                                  r_tree, a_tree, vm):
@@ -653,11 +682,11 @@ class KstarEngine:
                         int(kasm_seg[i]), int(kmis_seg[i])))
         return out
 
-    def _hist_chunk_acc(self, state, codes, r_tree, a_tree, vm, bins):
+    def _hist_chunk_acc(self, state, codes, tables, vm, bins):
         """_hist_chunk folded into a running device state (accumulation
         order matches the old per-batch host adds: batch order)."""
         return fold_hist_state(
-            state, self._hist_chunk(codes, r_tree, a_tree, vm, bins))
+            state, self._hist_chunk(codes, tables, vm, bins))
 
     def _fetch32(self) -> bool:
         """True when readK/asmK provably fit uint32 (halves the

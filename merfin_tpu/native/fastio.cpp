@@ -476,4 +476,25 @@ void mt_intervals_plane(const int64_t* lo, const int64_t* hi, int64_t n,
   free(d);
 }
 
+// Two-pointer merge of two sorted-unique (key u64, val u64) runs,
+// summing duplicate keys.  Linear and cache-friendly — replaces the
+// O(n log n) argsort merge the counter's binary-counter accumulation
+// used (SURVEY.md §2.2 meryl-count role).  out_* must hold na + nb
+// entries; returns the merged length.
+int64_t mt_merge_counts(const uint64_t* ak, const uint64_t* av, int64_t na,
+                        const uint64_t* bk, const uint64_t* bv, int64_t nb,
+                        uint64_t* ok, uint64_t* ov) {
+  int64_t i = 0, j = 0, m = 0;
+  while (i < na && j < nb) {
+    uint64_t ka = ak[i], kb = bk[j];
+    if (ka < kb)      { ok[m] = ka; ov[m] = av[i]; i++; }
+    else if (kb < ka) { ok[m] = kb; ov[m] = bv[j]; j++; }
+    else              { ok[m] = ka; ov[m] = av[i] + bv[j]; i++; j++; }
+    m++;
+  }
+  while (i < na) { ok[m] = ak[i]; ov[m] = av[i]; i++; m++; }
+  while (j < nb) { ok[m] = bk[j]; ov[m] = bv[j]; j++; m++; }
+  return m;
+}
+
 }  // extern "C"

@@ -75,9 +75,12 @@ def kover_parts(read_v, read_k, asm_k, prob, is_undr, vmaxp: int,
     key = jnp.where(exact_v, (v.astype(jnp.int32) - 1) * A1 + a32,
                     jnp.where(plain, vmaxp * A1 + a32, sentinel))
     r32 = jnp.where(plain, r, 0.0).astype(jnp.int32)
-    ks, rs = jax.lax.sort((key.astype(jnp.int32), r32), num_keys=1)
+    # keys span [0, sentinel]: u16 lanes when that fits (vmaxp <= 6 at
+    # the default amax) — half the key bandwidth of the kover sort
+    kdt = jnp.uint16 if sentinel <= 0xFFFF else jnp.int32
+    ks, rs = jax.lax.sort((key.astype(kdt), r32), num_keys=1)
 
-    bounds = jnp.searchsorted(ks, jnp.arange(sentinel + 1, dtype=jnp.int32))
+    bounds = jnp.searchsorted(ks, jnp.arange(sentinel + 1, dtype=kdt))
     counts = jnp.diff(bounds).astype(jnp.int64)          # [sentinel]
     csr = jnp.pad(jnp.cumsum(rs.astype(jnp.int64)), (1, 0))
     rsum = csr[bounds[1:]] - csr[bounds[:-1]]            # [sentinel]

@@ -287,22 +287,21 @@ class DeviceScorer(_FusedScorer):
         if sortjoin is None:
             sortjoin = jax.default_backend() != "cpu"
         self.sortjoin = bool(sortjoin)
+        self.sortjoin_union = self.sortjoin
         if self.sortjoin:
-            from merfin_tpu.ops.sortjoin import build_sortjoin_table
+            from merfin_tpu.ops.sortjoin import build_sortjoin_union_table
 
             self.MAX_WINDOWS = 1 << 22
-            # same ratio rule as KstarEngine (shared builder): v1's cost
-            # is QB x window span (wins when table/queries is small),
-            # v4's fence narrowing is flat in table size
-            self._sj_read = build_sortjoin_table(
-                read_lookup.keys_np, read_lookup.vals_np, k,
-                self.MAX_WINDOWS)
-            self._sj_asm = build_sortjoin_table(
+            # ONE union table (read+asm merged, two value columns): a
+            # single v4 probe returns both DB values — half the join
+            # passes per span (getK needs both, merfin-globals.C:101-110)
+            self._sj_union = build_sortjoin_union_table(
+                read_lookup.keys_np, read_lookup.vals_np,
                 asm_lookup.keys_np, asm_lookup.vals_np, k,
                 self.MAX_WINDOWS)
         self._impl = jax.jit(self._score_stream, static_argnums=0)
 
-    def _score_stream(self, n, r_tree, a_tree, vm, planes, vbits,
+    def _score_stream(self, n, trees, vm, planes, vbits,
                       adj_bits, mark_bits, b_start, b_end):
         """Packed path stream -> (num_m [p_seg], totdk [p_seg], overflow).
 
@@ -325,20 +324,22 @@ class DeviceScorer(_FusedScorer):
         fmer, rmer, valid = kmer_windows(codes, self.k)
         canon, mult = canonical_and_mult(fmer, rmer)
         if self.sortjoin:
-            # sort -> gather-free join -> unsort by the carried index;
-            # invalid windows become u64::MAX sentinels (join misses ->
-            # value 0, matching the reference's missing semantics)
+            # sort -> gather-free join (one union probe: both values) ->
+            # unsort by the carried index; invalid windows become
+            # u64::MAX sentinels (join misses -> value 0, matching the
+            # reference's missing semantics)
+            (u_tree,) = trees
             canon_q = jnp.where(valid, canon,
                                 jnp.uint64(0xFFFFFFFFFFFFFFFF))
             idx = jnp.arange(canon.shape[0], dtype=jnp.int32)
             qs, idx_s = jax.lax.sort((canon_q, idx), num_keys=1)
-            read_s = self._sj_read.lookup_sorted_with(r_tree, qs)
-            asm_s = self._sj_asm.lookup_sorted_with(a_tree, qs)
+            read_s, asm_s = self._sj_union.lookup2_sorted_with(u_tree, qs)
             _, read_u, asm_u = jax.lax.sort((idx_s, read_s, asm_s),
                                             num_keys=1)
             read_v = read_u.astype(np.uint64) * mult
             asm_v = asm_u.astype(np.uint64) * mult
         else:
+            r_tree, a_tree = trees
             read_v = self.read_lookup.lookup_with(
                 r_tree, canon).astype(np.uint64) * mult
             asm_v = self.asm_lookup.lookup_with(
@@ -351,11 +352,11 @@ class DeviceScorer(_FusedScorer):
     def _dispatch(self, p, planes, vbits, adj_bits, mark_bits,
                   b_start, b_end):
         if self.sortjoin:
-            trees = (self._sj_read.tree(), self._sj_asm.tree())
+            trees = (self._sj_union.tree(),)
         else:
             trees = (self.read_lookup.tree(), self.asm_lookup.tree())
         return self._impl(
-            p, *trees,
+            p, trees,
             self.value_map.device_arrays_scorer(), planes, vbits,
             adj_bits, mark_bits, b_start, b_end)
 

@@ -55,3 +55,38 @@ def test_count_mixed_and_files(tmp_path):
     st = algebra.statistics(db)
     assert st["present"] == sum(expect.values())
     assert st["distinct"] == len(expect)
+
+
+def test_device_resident_acc_matches_host_with_collapses():
+    """_DeviceCountAcc (device-resident runs + collapse programs +
+    quantized-slice fetch) == the host accumulator, across enough small
+    chunks to trigger level-0 AND level-1 collapses, with Ns and
+    mid-sequence chunk splits."""
+    import numpy as np
+
+    from merfin_tpu.count.counter import (_Accumulator, _DeviceCountAcc,
+                                          _count_into, _packed_chunks)
+    from merfin_tpu.io.fasta import CodedSequence
+
+    k = 9
+    chunk = 256
+    rng = np.random.default_rng(11)
+    seqs = []
+    for i in range(40):
+        codes = rng.integers(0, 4, size=rng.integers(5, 900)).astype(np.uint8)
+        if i % 3 == 0 and codes.size > 10:   # sprinkle invalid bases
+            codes[rng.integers(0, codes.size, size=3)] = 4
+        seqs.append(CodedSequence(f"s{i}", codes))
+
+    dacc = _DeviceCountAcc(k, chunk, collapse_runs=2)   # force deep collapses
+    for buf in _packed_chunks(iter(seqs), k, chunk):
+        dacc.add_codes(buf)
+    dk, dv, dt = dacc.drain()
+
+    hacc = _Accumulator()
+    _count_into(hacc, iter(seqs), k, chunk=chunk, use_device=False)
+    hk, hv, ht = *hacc.result()[:2], hacc.total
+
+    assert dt == ht
+    np.testing.assert_array_equal(dk, hk)
+    np.testing.assert_array_equal(dv.astype(np.uint64), hv.astype(np.uint64))
