@@ -390,14 +390,53 @@ def run_variants(
         heavy_set = set(heavy)
         all_scores: list = [None] * len(prepared)
 
+        selected_map: dict[int, tuple[str, str]] = {}
         if use_blocks:
-            # Pipelined: heavy blocks stream (in order) from the pool;
-            # each budgeted batch DISPATCHES as soon as its blocks
-            # exist, so device compute overlaps the workers building the
-            # next clusters.  Fetches trail by up to _MAX_INFLIGHT
-            # batches to bound in-flight input buffers.
+            # Pipelined three ways: heavy blocks stream (in order) from
+            # the process pool when it's engaged, OTHER clusters build on
+            # a background thread (enumerate_fast's numpy + native
+            # assembly release the GIL, so build(j+1) overlaps the
+            # parent's dispatch/fetch/selection of j even on a 2-core
+            # host); each budgeted batch DISPATCHES as soon as its
+            # blocks exist; and selection runs EAGERLY per fetched batch
+            # instead of after the whole sequence, so it hides inside
+            # later batches' device time.  Fetches trail by up to
+            # _MAX_INFLIGHT batches to bound in-flight input buffers.
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+
             heavy_iter = iter(get_pool().imap(
                 task_fn, [task_args[i] for i in heavy])) if heavy else None
+            build_ex = ThreadPoolExecutor(max_workers=1)
+            _LOOKAHEAD = 4
+            futs: collections.deque = collections.deque()
+            nxt = 0
+
+            def submit_more():
+                nonlocal nxt
+                while nxt < len(prepared) and len(futs) < _LOOKAHEAD:
+                    if nxt in heavy_set:
+                        futs.append((nxt, None))   # drawn from heavy_iter
+                    else:
+                        futs.append((nxt, build_ex.submit(task_fn,
+                                                          task_args[nxt])))
+                    nxt += 1
+
+            def next_block():
+                submit_more()
+                idx, f = futs.popleft()
+                b = next(heavy_iter) if f is None else f.result()
+                submit_more()
+                return idx, b
+
+            def finish(a, bb, tok):
+                all_scores[a:bb] = fetch_blocks(tok, scorer)
+                for idx in range(a, bb):
+                    if prepared[idx] is not None:
+                        selected_map[idx] = _select_block_task(
+                            (mode, paths_list[idx], all_scores[idx],
+                             prepared[idx][0], k))
+
             pending: list[tuple[int, int, tuple]] = []
             _MAX_INFLIGHT = 8
 
@@ -408,20 +447,20 @@ def run_variants(
                 batch: list = []
                 while j < len(prepared) and (budget == 0
                                              or budget < query_budget):
-                    paths_list[j] = (next(heavy_iter) if j in heavy_set
-                                     else task_fn(task_args[j]))
-                    b = paths_list[j]
+                    jj, b = next_block()
+                    assert jj == j
+                    paths_list[j] = b
                     if b is not None:
                         budget += int(b.nis.sum())
                     batch.append(b)
                     j += 1
                 pending.append((i, j, dispatch_blocks(batch, scorer, k)))
                 if len(pending) > _MAX_INFLIGHT:
-                    a, bb, tok = pending.pop(0)
-                    all_scores[a:bb] = fetch_blocks(tok, scorer)
+                    finish(*pending.pop(0))
                 i = j
-            for a, bb, tok in pending:
-                all_scores[a:bb] = fetch_blocks(tok, scorer)
+            for p in pending:
+                finish(*p)
+            build_ex.shutdown()
         else:
             if heavy:
                 async_res = get_pool().map_async(
@@ -456,17 +495,17 @@ def run_variants(
                 )
                 i = j
 
-        # per-cluster selection — runs serially in the parent: once the
-        # scores exist, selection is an integer scan over num_m plus
-        # tot_dk sums for the (small) min-missing tie set; shipping the
+        # per-cluster selection — runs in the parent: once the scores
+        # exist, selection is an integer scan over num_m plus tot_dk
+        # sums for the (small) min-missing tie set; shipping the
         # per-window score arrays to a worker costs orders of magnitude
         # more in pickling than the scan itself (measured: ~90 MB/cluster
-        # at comb=15), so the pool fans out enumeration only.
+        # at comb=15), so the pool fans out enumeration only.  The fused
+        # path selected eagerly per fetched batch above.
         if use_blocks:
-            selected = [
-                _select_block_task((mode, paths_list[idx], all_scores[idx],
-                                    entry[0], k))
-                for idx, entry in enumerate(prepared) if entry is not None]
+            selected = [selected_map[idx]
+                        for idx, entry in enumerate(prepared)
+                        if entry is not None]
         else:
             tasks = [(mode, paths_list[idx], all_scores[idx], entry[0], k)
                      for idx, entry in enumerate(prepared)
