@@ -548,3 +548,69 @@ def test_loose_ref_neutral_special_case_scalar_and_block(tmp_path):
         assert (f[3], f[4]) == (g_a[p], alt_b), "first tying ALT path wins"
         assert "Multiple (3) alternate pathes" in log_txt
         assert "Max. 1 ALT variants selected" in log_txt
+
+
+# ---------------------------------------------------------------------
+# -polish het branch end-to-end (varMer.C:427-467): two zero-missing
+# paths with EQUAL totdK doubles -> het 1/2 record; and the fixed plain
+# scan e2e (a zero-missing path must clear pre-zero survivors — the
+# round-4 confirmed bug would route selection through stale idxs here).
+# ---------------------------------------------------------------------
+
+def test_polish_het_equal_totdk_emits_1_2(tmp_path):
+    """Balanced two-haplotype reads at an asm error site: both ALT paths
+    score zero missing with symmetric counts -> equal totdK doubles ->
+    getHetRecord 1/2 with both alleles, hap order = insertion order
+    (equal lengths keep idx1 first, varMer.C:453-459)."""
+    rng = random.Random(55)
+    g_a = random_dna(rng, 140)
+    p = 70
+    alt_b = ALT_OF[g_a[p]]
+    alt_c = ALT_OF[alt_b]
+    g_b = g_a[:p] + alt_b + g_a[p + 1:]
+    g_c = g_a[:p] + alt_c + g_a[p + 1:]
+    # asm carries A (neither haplotype); reads are a balanced B/C mix
+    read_db = db_from_dict(
+        refmodel.count_canonical([g_b] * 20 + [g_c] * 20, K), K,
+        str(tmp_path / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical([g_a], K), K,
+                          str(tmp_path / "a"))
+    fasta = tmp_path / "asm.fasta"
+    fasta.write_text(">chr1\n" + g_a + "\n")
+    vcf = tmp_path / "c.vcf"
+    vcf.write_text(_vcf_text(["chr1"], [
+        ("chr1", p + 1, ".", g_a[p], f"{alt_b},{alt_c}", 44.7, "PASS", ".",
+         "GT", "1/2"),
+    ]))
+    recs, _ = _run_polish(tmp_path, str(fasta), str(vcf), read_db, asm_db)
+    assert recs == [f"chr1\t{p + 1}\t.\t{g_a[p]}\t{alt_b},{alt_c}\t44"
+                    "\tPASS\t.\tGT\t1/2"]
+
+
+def test_polish_zero_path_clears_survivors_e2e(tmp_path):
+    """Reads hold only haplotype B; ALT field is "B,C" with C spurious.
+    Path order is [REF, B, C]: REF scores k missing, B zero, C k
+    missing.  The plain bestVariant scan CLEARS the REF survivor when B
+    arrives (varMer.C:411-414) -> hom B.  Under the old bestFilter-style
+    double-push the stale REF path stayed in idxs and the int-truncated
+    multimap could pick it (emitting nothing) — this pins the fix e2e."""
+    rng = random.Random(56)
+    g_a = random_dna(rng, 140)
+    p = 70
+    alt_b = ALT_OF[g_a[p]]
+    alt_c = ALT_OF[alt_b]
+    g_b = g_a[:p] + alt_b + g_a[p + 1:]
+    read_db = db_from_dict(refmodel.count_canonical([g_b] * 30, K), K,
+                           str(tmp_path / "r"))
+    asm_db = db_from_dict(refmodel.count_canonical([g_a], K), K,
+                          str(tmp_path / "a"))
+    fasta = tmp_path / "asm.fasta"
+    fasta.write_text(">chr1\n" + g_a + "\n")
+    vcf = tmp_path / "c.vcf"
+    vcf.write_text(_vcf_text(["chr1"], [
+        ("chr1", p + 1, ".", g_a[p], f"{alt_b},{alt_c}", 31.2, "PASS", ".",
+         "GT", "1/2"),
+    ]))
+    recs, _ = _run_polish(tmp_path, str(fasta), str(vcf), read_db, asm_db)
+    assert recs == [f"chr1\t{p + 1}\t.\t{g_a[p]}\t{alt_b}\t31"
+                    "\tPASS\t.\tGT\t1/1"]

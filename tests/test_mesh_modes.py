@@ -184,3 +184,42 @@ def test_mesh_completeness_rec_matches_single(world, monkeypatch):
     assert r1["total"] == pytest.approx(r2["total"], rel=1e-12)
     assert r1["undrc"] == pytest.approx(r2["undrc"], rel=1e-12)
     assert log1.getvalue() == log2.getvalue()
+
+
+def test_mesh_completeness_u16_readk_widening(world, tmp_path):
+    """Tiny peak pushes readK past u8 on the wire: the mesh data plane
+    must widen identically to single-device (r4 wire-dtype edge, now on
+    the virtual mesh)."""
+    from tests.util import db_from_dict
+
+    k = 5
+    kmers = ["ACGTA", "GGATC", "TTACG"]
+    canon = [min(s, refmodel.revcomp(s)) for s in kmers]
+    rdb = db_from_dict(dict(zip(canon, [50, 100, 7])), k, str(tmp_path / "r"))
+    adb = db_from_dict(dict(zip(canon, [1, 1, 1])), k, str(tmp_path / "a"))
+    mesh = make_mesh(8, data=2)
+    res = run_completeness(rdb, adb, peak=0.1, log=io.StringIO(),
+                           mesh=mesh, block=64)
+    assert res["total"] == 500 + 1000 + 70
+    assert res["undrc"] == 499 + 999 + 69
+
+
+def test_mesh_completeness_peak_zero_f64_fallback(world, tmp_path):
+    """peak=0 inf-readK f64 fallback on the MESH: must not crash and
+    must land in the same inf/nan class as the single-device path
+    (merfin-globals.C:84-97; r4 verdict item 8)."""
+    import math
+
+    from tests.util import db_from_dict
+
+    k = 5
+    s = min("ACGTA", refmodel.revcomp("ACGTA"))
+    rdb = db_from_dict({s: 9}, k, str(tmp_path / "r"))
+    adb = db_from_dict({s: 1}, k, str(tmp_path / "a"))
+    single = run_completeness(rdb, adb, peak=0.0, log=io.StringIO())
+    mesh = make_mesh(8, data=2)
+    res = run_completeness(rdb, adb, peak=0.0, log=io.StringIO(),
+                           mesh=mesh, block=64)
+    assert math.isinf(res["total"]) or math.isnan(res["total"])
+    assert math.isnan(res["completeness"])
+    assert math.isnan(single["completeness"])
