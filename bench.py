@@ -112,9 +112,12 @@ def _bench_hist(keys, read_vals, asm_vals, k, n_bases=1 << 25):
     from merfin_tpu.table.lookup import DeviceLookup
 
     sortjoin = jax.default_backend() != "cpu"
+    # max_value/exact_max mirror the CLI (cli.py:make_engine): the
+    # scanned DB max compiles the value-map overflow fallback away
     engine = KstarEngine(DeviceLookup(keys, read_vals, k),
                          DeviceLookup(keys, asm_vals, k),
-                         k, peak=12.0, chunk=1 << 19, sortjoin=sortjoin)
+                         k, peak=12.0, chunk=1 << 19, sortjoin=sortjoin,
+                         max_value=int(read_vals.max()), exact_max=True)
     rng = np.random.default_rng(3)
     # pipelined dispatches: the rate reflects steady-state throughput
     # with transfer/compute overlap, not one dispatch's tunnel round trip

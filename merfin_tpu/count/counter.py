@@ -134,12 +134,16 @@ class _DeviceCountAcc:
     bases and keeps counts in RAM; fetching windows inverts that).
     Here each chunk reduces to sorted (unique key, count) runs ON
     DEVICE in fixed shapes (sentinel-padded, so every chunk reuses one
-    compiled program), every ``collapse_runs`` runs merge in one device
-    sort program, and only the FINAL unique set crosses the link —
-    wire bytes scale with distinct k-mers, not bases.
+    compiled program); every ``collapse_runs`` same-capacity runs merge
+    in one device sort program whose output COMPACTS to the next power
+    of two above its live uniques (collapse sorts never re-pay input
+    padding); and only the FINAL unique set crosses the link, as
+    (lo u32, hi, val) planes — wire bytes scale with distinct k-mers,
+    not bases.
     """
 
     _MAX = 0xFFFFFFFFFFFFFFFF
+    _MIN_CAP = 1 << 18
 
     def __init__(self, k: int, chunk: int, collapse_runs: int = 8):
         from merfin_tpu.config import ensure_x64
@@ -153,9 +157,9 @@ class _DeviceCountAcc:
         self.k = k
         self.chunk = chunk
         self.R = collapse_runs
-        # binary-counter on device: levels[i] holds < R runs of
-        # R^i * W padded entries; R runs collapse into one level-i+1 run
-        self.levels: list[list] = [[]]
+        # capacity-keyed buckets: buckets[cap] holds < R runs of ``cap``
+        # padded entries; R same-cap runs collapse into one compacted run
+        self.buckets: dict[int, list] = {}
         # runs whose collapse would exceed max_entries are fetched and
         # merged on the host instead (keeps HBM bounded on huge inputs)
         self.max_entries = 1 << 26
@@ -166,8 +170,8 @@ class _DeviceCountAcc:
         L = chunk + k - 1
         MAX = jnp.uint64(self._MAX)
 
-        def runlength(sk, sv_cumsum_dtype=None):
-            """Sorted keys [W] -> (unique keys padded with MAX, counts).
+        def runlength(sk):
+            """Sorted keys [W] -> (unique keys padded with MAX, bp, nxt).
             Fixed-shape: boundary positions sort to the front, count of
             run j = bp[j+1] - bp[j]; pads produce count 0 / key MAX."""
             W = sk.shape[0]
@@ -191,17 +195,18 @@ class _DeviceCountAcc:
 
         @jax.jit
         def collapse(ks, vs):
-            """ks [R, W] u64 / vs [R, W] uint -> one merged padded run.
-            Pad keys are MAX with value 0, so their sums vanish and they
-            sort to the tail — sortedness and shape are preserved."""
+            """ks [R, W] u64 / vs [R, W] uint -> merged padded run +
+            live-unique count.  Pad keys are MAX with value 0, so their
+            sums vanish and they sort to the tail — sortedness and
+            shape are preserved; n_uniq lets the host compact."""
             k2 = ks.reshape(-1)
             v2 = vs.reshape(-1).astype(jnp.uint64)
             sk, sv = jax.lax.sort((k2, v2), num_keys=1)
-            W2 = sk.shape[0]
             keys, bp, nxt = runlength(sk)
             cv = jnp.concatenate([jnp.zeros(1, jnp.uint64), jnp.cumsum(sv)])
             sums = cv[nxt] - cv[bp]
-            return keys, sums
+            n_uniq = jnp.sum(keys != MAX)
+            return keys, sums, n_uniq
 
         self._chunk_fn = chunk_count
         self._collapse_fn = collapse
@@ -218,17 +223,19 @@ class _DeviceCountAcc:
         planes, vbits = pack_transfer_np(buf.reshape(1, -1))
         keys, vals, n_valid = self._chunk_fn(planes, vbits)
         self._totals.append(n_valid)
-        self._push((keys, vals), 0)
+        self._push((keys, vals))
 
-    def _push(self, run, lvl: int) -> None:
-        while len(self.levels) <= lvl:
-            self.levels.append([])
-        self.levels[lvl].append(run)
-        if len(self.levels[lvl]) < self.R:
-            return
-        runs, self.levels[lvl] = self.levels[lvl], []
-        out_entries = self.R * int(runs[0][0].shape[0])
-        if out_entries > self.max_entries:
+    def _push(self, run) -> None:
+        cap = int(run[0].shape[0])
+        bucket = self.buckets.setdefault(cap, [])
+        bucket.append(run)
+        if len(bucket) >= self.R:
+            self.buckets[cap] = []
+            self._collapse(bucket)
+
+    def _collapse(self, runs) -> None:
+        cap = int(runs[0][0].shape[0])
+        if len(runs) * cap > self.max_entries:
             # HBM-bounded: overflow these (already deduped) runs to the
             # host accumulator via the native linear merge
             for r in runs:
@@ -239,35 +246,73 @@ class _DeviceCountAcc:
         jnp = self._jnp
         ks = jnp.stack([r[0] for r in runs])
         vs = jnp.stack([r[1] for r in runs])
-        self._push(self._collapse_fn(ks, vs), lvl + 1)
+        keys, vals, n_uniq = self._collapse_fn(ks, vs)
+        # compact: uniques sit at the front; capacity = pow2 above the
+        # live count so later collapse sorts never re-pay this padding
+        n = int(n_uniq)
+        full = int(keys.shape[0])
+        new_cap = max(self._MIN_CAP, 1 << max(0, (n - 1).bit_length()))
+        if new_cap < full:
+            keys, vals = self._sliced(keys, vals, new_cap)
+        self._push((keys, vals))
+
+    def _sliced(self, keys, vals, q: int):
+        W = int(keys.shape[0])
+        fn = self._slice_fns.get(("cut", W, q))
+        if fn is None:
+            fn = self._jax.jit(lambda a, b: (a[:q], b[:q]))
+            self._slice_fns[("cut", W, q)] = fn
+        return fn(keys, vals)
 
     def _fetch_run(self, keys, vals):
-        """Fetch one padded run's live prefix.  Slice sizes quantize to
-        2^20 so the link never carries the full pad and the number of
-        compiled slice programs stays tiny."""
+        """Fetch one padded run's live prefix as (lo u32, hi, val u32)
+        planes — 10 B/key on the wire instead of 16 (hi is u16 for
+        k <= 24).  Slice sizes quantize to 2^18 so the link never
+        carries the full pad and the compiled-slice set stays tiny."""
         jnp = self._jnp
         n = int(jnp.sum(keys != jnp.uint64(self._MAX)))
         if n == 0:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
         W = keys.shape[0]
-        q = min(W, ((n + (1 << 20) - 1) >> 20) << 20)
-        fn = self._slice_fns.get((W, q))
+        Q = self._MIN_CAP
+        q = min(W, ((n + Q - 1) // Q) * Q)
+        hi_dt = jnp.uint16 if self.k <= 24 else jnp.uint32
+        fn = self._slice_fns.get(("fetch", W, q))
         if fn is None:
-            fn = self._jax.jit(lambda a, b: (a[:q], b[:q]))
-            self._slice_fns[(W, q)] = fn
-        kq, vq = fn(keys, vals)
-        return (np.asarray(kq)[:n].astype(np.uint64),
-                np.asarray(vq)[:n].astype(np.uint64))
+            def planes(a, b):
+                lo = a[:q].astype(jnp.uint32)
+                hi = (a[:q] >> jnp.uint64(32)).astype(hi_dt)
+                v32 = b[:q].astype(jnp.uint32)
+                vbig = jnp.sum(b[:q] > jnp.uint64(0xFFFFFFFF))
+                return lo, hi, v32, vbig
+
+            fn = self._jax.jit(planes)
+            self._slice_fns[("fetch", W, q)] = fn
+        lo, hi, v32, vbig = fn(keys, vals)
+        if int(vbig):
+            # rare: some count exceeded u32 — fall back to the u64 fetch
+            kq, vq = self._sliced(keys, vals, q) if q < W else (keys, vals)
+            return (np.asarray(kq)[:n].astype(np.uint64),
+                    np.asarray(vq)[:n].astype(np.uint64))
+        rk = (np.asarray(hi)[:n].astype(np.uint64) << np.uint64(32)) | \
+            np.asarray(lo)[:n].astype(np.uint64)
+        return rk, np.asarray(v32)[:n].astype(np.uint64)
 
     def drain(self) -> tuple[np.ndarray, np.ndarray, int]:
-        """Fetch + host-merge the remaining runs (native linear merge)."""
+        """Device-collapse leftover same-capacity runs, then fetch +
+        host-merge what remains (native linear merge)."""
+        for cap in sorted(self.buckets):
+            runs = self.buckets[cap]
+            if len(runs) >= 2 and len(runs) * cap <= self.max_entries:
+                self.buckets[cap] = []
+                self._collapse(runs)   # re-pushed compacted (maybe new cap)
         keys, vals = self._host_keys, self._host_vals
-        for level in reversed(self.levels):
-            for r in level:
+        for cap in sorted(self.buckets, reverse=True):
+            for r in self.buckets[cap]:
                 rk, rv = self._fetch_run(*r)
                 keys, vals = _merge_sorted(keys, vals, rk, rv)
         total = int(sum(int(t) for t in self._totals))
-        self.levels, self._totals = [[]], []
+        self.buckets, self._totals = {}, []
         self._host_keys = np.zeros(0, np.uint64)
         self._host_vals = np.zeros(0, np.uint64)
         return keys, vals, total
