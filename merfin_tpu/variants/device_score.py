@@ -218,26 +218,50 @@ class _FusedScorer:
         return (np.asarray(num_m)[:P].astype(np.int64),
                 np.asarray(totdk)[:P])
 
+    # DeviceScorer overlaps span pack+transfer on worker threads; the
+    # sharded scorer must keep collective dispatch order, so it stays
+    # serial (shard_map psums from racing threads could interleave)
+    _THREADED_SPANS = False
+    _span_ex = None
+
+    def _get_span_ex(self):
+        if self._span_ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._span_ex = ThreadPoolExecutor(max_workers=2)
+        return self._span_ex
+
     def dispatch_paths(self, codes: np.ndarray, adjust: np.ndarray,
                        starts: np.ndarray, nis: np.ndarray):
         """ASYNC half of score_paths: pack + dispatch every span, return
         an opaque token for fetch_paths.  Lets callers keep whole
         batches in flight while the host prepares the next one
-        (score.dispatch_blocks / modes.variants pipelining)."""
+        (score.dispatch_blocks / modes.variants pipelining).  On the
+        threaded path the per-span host pack + device_put runs on a
+        small executor, so span i+1's transfer prep overlaps span i's
+        dispatch AND the caller's other host work."""
         P = nis.shape[0]
         n = max(0, codes.shape[0] - self.k + 1)
         if n == 0 or P == 0:
             return (P, [])
-        handles = []
+        spans = []
         i = 0
         while i < P:
             j = i + 1
             while j < P and starts[j + 1] - starts[i] <= self.MAX_WINDOWS:
                 j += 1
-            a, b = int(starts[i]), int(starts[j])
-            handles.append((i, j, self._span_dispatch(
-                codes[a:b], adjust[a:b], starts[i: j + 1] - a, nis[i:j])))
+            spans.append((i, j, int(starts[i]), int(starts[j])))
             i = j
+        if self._THREADED_SPANS and len(spans) > 1:
+            ex = self._get_span_ex()
+            handles = [(i, j, ex.submit(
+                self._span_dispatch, codes[a:b], adjust[a:b],
+                starts[i: j + 1] - a, nis[i:j]))
+                for i, j, a, b in spans]
+            return (P, handles)
+        handles = [(i, j, self._span_dispatch(
+            codes[a:b], adjust[a:b], starts[i: j + 1] - a, nis[i:j]))
+            for i, j, a, b in spans]
         return (P, handles)
 
     def fetch_paths(self, token):
@@ -246,6 +270,8 @@ class _FusedScorer:
         num_m = np.zeros(P, np.int64)
         totdk = np.zeros(P)
         for i, j, h in handles:
+            if hasattr(h, "result"):   # threaded span dispatch
+                h = h.result()
             nm, td = self._span_fetch(h)
             num_m[i:j] = nm
             totdk[i:j] = td
@@ -271,6 +297,8 @@ class DeviceScorer(_FusedScorer):
     second sort keyed on the carried index.  Values are exact either
     way, so every selector output is unchanged; it also lifts the span
     cap 2x (no [windows, R] take temporaries to blow HBM)."""
+
+    _THREADED_SPANS = True
 
     def __init__(self, read_lookup, asm_lookup, k: int, peak: float,
                  prob_table: ProbTable | None, max_value: int | None = None,

@@ -132,6 +132,28 @@ def main():
         except Exception as e:
             emit("ablate", mode=name, error=repr(e)[:300])
 
+    # count re-measurement after compaction + plane-packed fetch
+    import bench
+
+    t0 = time.time()
+    try:
+        rate = bench._bench_count()
+        emit("count2", bases_per_sec=round(rate), secs=round(time.time() - t0, 1))
+        rate16 = bench._bench_count(coverage=16)
+        emit("count2_cov16", bases_per_sec=round(rate16),
+             secs=round(time.time() - t0, 1))
+    except Exception as e:
+        emit("count2", error=repr(e)[:300])
+
+    # heavy re-measurement with threaded span dispatch + build overlap
+    t0 = time.time()
+    try:
+        dev, host, ident = bench._bench_variants_heavy()
+        emit("heavy2", dev=round(dev, 3), host=round(host, 3),
+             identical=bool(ident), secs=round(time.time() - t0, 1))
+    except Exception as e:
+        emit("heavy2", error=repr(e)[:300])
+
     emit("done")
 
 
