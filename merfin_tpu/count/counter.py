@@ -217,11 +217,17 @@ class _DeviceCountAcc:
 
     def add_codes(self, buf: np.ndarray) -> None:
         """Dispatch one packed chunk (codes u8 [chunk + k - 1], code 4
-        separators/pads) — returns without syncing the device."""
+        separators/pads) — returns without syncing the device.  Inputs
+        cross the link via explicit device_put: the jit numpy-arg
+        staging path costs far more than the transfer itself on this
+        backend (docs/PERF.md r4)."""
+        import jax
+
         from merfin_tpu.kcore.pack import pack_transfer_np
 
         planes, vbits = pack_transfer_np(buf.reshape(1, -1))
-        keys, vals, n_valid = self._chunk_fn(planes, vbits)
+        keys, vals, n_valid = self._chunk_fn(jax.device_put(planes),
+                                             jax.device_put(vbits))
         self._totals.append(n_valid)
         self._push((keys, vals))
 
@@ -265,38 +271,42 @@ class _DeviceCountAcc:
         return fn(keys, vals)
 
     def _fetch_run(self, keys, vals):
-        """Fetch one padded run's live prefix as (lo u32, hi, val u32)
-        planes — 10 B/key on the wire instead of 16 (hi is u16 for
-        k <= 24).  Slice sizes quantize to 2^18 so the link never
-        carries the full pad and the compiled-slice set stays tiny."""
+        """Fetch one padded run's live prefix as (lo u32, hi, val)
+        planes — the hi plane is u16 for k <= 24 and the value plane
+        narrows to the run's max count (u8 at typical coverages), so
+        the wire carries ~7-10 B/key instead of 16.  Slice sizes
+        quantize to 2^18 so the link never carries the full pad and the
+        compiled-slice set stays tiny."""
         jnp = self._jnp
-        n = int(jnp.sum(keys != jnp.uint64(self._MAX)))
+        W = int(keys.shape[0])
+        stat = self._slice_fns.get(("stat", W))
+        if stat is None:
+            stat = self._jax.jit(lambda a, b: (
+                jnp.sum(a != jnp.uint64(self._MAX)), jnp.max(b)))
+            self._slice_fns[("stat", W)] = stat
+        n_d, vmax_d = stat(keys, vals)
+        n, vmax = int(n_d), int(vmax_d)
         if n == 0:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-        W = keys.shape[0]
         Q = self._MIN_CAP
         q = min(W, ((n + Q - 1) // Q) * Q)
         hi_dt = jnp.uint16 if self.k <= 24 else jnp.uint32
-        fn = self._slice_fns.get(("fetch", W, q))
+        v_dt = (jnp.uint8 if vmax < 256 else
+                jnp.uint16 if vmax < 65536 else
+                jnp.uint32 if vmax <= 0xFFFFFFFF else jnp.uint64)
+        fn = self._slice_fns.get(("fetch", W, q, str(v_dt)))
         if fn is None:
             def planes(a, b):
                 lo = a[:q].astype(jnp.uint32)
                 hi = (a[:q] >> jnp.uint64(32)).astype(hi_dt)
-                v32 = b[:q].astype(jnp.uint32)
-                vbig = jnp.sum(b[:q] > jnp.uint64(0xFFFFFFFF))
-                return lo, hi, v32, vbig
+                return lo, hi, b[:q].astype(v_dt)
 
             fn = self._jax.jit(planes)
-            self._slice_fns[("fetch", W, q)] = fn
-        lo, hi, v32, vbig = fn(keys, vals)
-        if int(vbig):
-            # rare: some count exceeded u32 — fall back to the u64 fetch
-            kq, vq = self._sliced(keys, vals, q) if q < W else (keys, vals)
-            return (np.asarray(kq)[:n].astype(np.uint64),
-                    np.asarray(vq)[:n].astype(np.uint64))
+            self._slice_fns[("fetch", W, q, str(v_dt))] = fn
+        lo, hi, v = fn(keys, vals)
         rk = (np.asarray(hi)[:n].astype(np.uint64) << np.uint64(32)) | \
             np.asarray(lo)[:n].astype(np.uint64)
-        return rk, np.asarray(v32)[:n].astype(np.uint64)
+        return rk, np.asarray(v)[:n].astype(np.uint64)
 
     def drain(self) -> tuple[np.ndarray, np.ndarray, int]:
         """Device-collapse leftover same-capacity runs, then fetch +
@@ -311,7 +321,17 @@ class _DeviceCountAcc:
             for r in self.buckets[cap]:
                 rk, rv = self._fetch_run(*r)
                 keys, vals = _merge_sorted(keys, vals, rk, rv)
-        total = int(sum(int(t) for t in self._totals))
+        if self._totals:
+            # one stacked device sum -> one scalar fetch (a per-chunk
+            # int() would pay a tunnel round trip per chunk)
+            nt = len(self._totals)
+            fn = self._slice_fns.get(("tot", nt))
+            if fn is None:
+                fn = self._jax.jit(lambda *ts: sum(ts))
+                self._slice_fns[("tot", nt)] = fn
+            total = int(fn(*self._totals))
+        else:
+            total = 0
         self.buckets, self._totals = {}, []
         self._host_keys = np.zeros(0, np.uint64)
         self._host_vals = np.zeros(0, np.uint64)

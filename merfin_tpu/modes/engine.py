@@ -124,15 +124,39 @@ def pack_group_transfer(seqs, k: int, chunk: int, rows: int, capacity: int):
     return planes, vbits, marks_bits, base.astype(np.int32), starts
 
 
+def counts_by_sort(comp, domain: int):
+    """Value histogram of ``comp`` (ints in [0, domain)) — one sort,
+    run-length compaction, one SMALL scatter.
+
+    jnp.bincount over the full stream lowers to a per-window scatter-add
+    (~10x a sort on this TPU, docs/PERF.md); a searchsorted over all
+    ``domain`` boundaries costs domain x log(W) gathers (~15 ms at 32k
+    boundaries x 2^20 windows — the r5 ablation's hist-stage wall).
+    Runs are value-bounded: at most ``domain`` distinct runs exist, so
+    the boundary-position sort compacts to [domain] rows and the final
+    scatter-add touches ``domain`` elements, not the stream."""
+    import jax.numpy as jnp
+
+    W = comp.size
+    dt = jnp.uint16 if domain - 1 <= 0xFFFF else jnp.int32
+    s = jnp.sort(comp.reshape(-1).astype(dt))
+    pos = jnp.arange(W, dtype=jnp.int32)
+    b = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    bp = jnp.sort(jnp.where(b, pos, np.int32(W)))
+    M = min(domain, W)
+    runs_pos = bp[:M]
+    runs_next = bp[1: M + 1] if M < W else jnp.append(bp[1:M], np.int32(W))
+    lens = (runs_next - runs_pos).astype(jnp.int64)   # pads: W - W = 0
+    vals = s[jnp.minimum(runs_pos, W - 1)].astype(jnp.int32)
+    return jnp.zeros(domain, jnp.int64).at[vals].add(lens)
+
+
 def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over,
                      nbins: int = NBINS):
-    """The two k* histograms via ONE device sort + boundary search.
+    """The two k* histograms via ONE device sort + compacted-run scatter.
 
-    jnp.bincount lowers to scatter-add, which costs ~10x a sort on this
-    TPU (measured: 291 ms vs ~30 ms per 2.1M-window dispatch, see
-    docs/PERF.md).  Windows are undr XOR over XOR neither, so both
-    histograms pack into one composite index space [0, 2*nbins]:
-    sort it, then bin counts are differences of searchsorted boundaries.
+    Windows are undr XOR over XOR neither, so both histograms pack into
+    one composite index space [0, 2*nbins] counted by counts_by_sort.
     """
     import jax.numpy as jnp
 
@@ -140,12 +164,7 @@ def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over,
         is_undr, jnp.clip(undr_idx, 0, nbins - 1),
         jnp.where(is_over, nbins + jnp.clip(over_idx, 0, nbins - 1),
                   2 * nbins))
-    # composite values span [0, 2*nbins]: u16 lanes when that fits
-    # (default nbins stays well under 32767) — half the sort bandwidth
-    dt = jnp.uint16 if 2 * nbins <= 0xFFFF else jnp.int32
-    s = jnp.sort(comp.reshape(-1).astype(dt))
-    bounds = jnp.searchsorted(s, jnp.arange(2 * nbins + 1, dtype=dt))
-    counts = jnp.diff(bounds).astype(jnp.int64)
+    counts = counts_by_sort(comp.reshape(-1), 2 * nbins + 1)
     return counts[:nbins], counts[nbins: 2 * nbins]
 
 
@@ -460,7 +479,7 @@ class KstarEngine:
             self.bin_table.amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
-            read_k, asm_k, bins)
+            read_k, asm_k, bins, int_only=self.value_map.int_bins_ok())
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
 
         max_idx = jnp.maximum(
@@ -534,7 +553,7 @@ class KstarEngine:
             self.bin_table.amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
-            read_k, asm_k, bins)
+            read_k, asm_k, bins, int_only=self.value_map.int_bins_ok())
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
         max_idx = jnp.maximum(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),

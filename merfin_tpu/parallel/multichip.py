@@ -107,7 +107,8 @@ def make_hist_step(
             bin_table.amax)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
-            read_k, asm_k, (undr_t, over_t))
+            read_k, asm_k, (undr_t, over_t),
+            int_only=value_map.int_bins_ok())
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
         max_idx = jnp.maximum(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),
@@ -225,7 +226,8 @@ def make_hist_group_step(
             bin_table.amax)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
-            read_k, asm_k, (undr_t, over_t))
+            read_k, asm_k, (undr_t, over_t),
+            int_only=value_map.int_bins_ok())
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
         max_idx = jnp.maximum(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),

@@ -80,10 +80,23 @@ def kover_parts(read_v, read_k, asm_k, prob, is_undr, vmaxp: int,
     kdt = jnp.uint16 if sentinel <= 0xFFFF else jnp.int32
     ks, rs = jax.lax.sort((key.astype(kdt), r32), num_keys=1)
 
-    bounds = jnp.searchsorted(ks, jnp.arange(sentinel + 1, dtype=kdt))
-    counts = jnp.diff(bounds).astype(jnp.int64)          # [sentinel]
+    # counts + per-key r sums via run-length compaction + one SMALL
+    # scatter (at most sentinel+1 distinct keys exist): a searchsorted
+    # over every boundary costs (sentinel+1) x log(W) gathers — part of
+    # the r5 ablation's kover wall
+    W = ks.shape[0]
+    pos = jnp.arange(W, dtype=jnp.int32)
+    b = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    bp = jnp.sort(jnp.where(b, pos, np.int32(W)))
+    M = min(sentinel + 1, W)
+    runs_pos = bp[:M]
+    runs_next = bp[1: M + 1] if M < W else jnp.append(bp[1:M], np.int32(W))
+    lens = (runs_next - runs_pos).astype(jnp.int64)       # pads: 0
+    kvals = ks[jnp.minimum(runs_pos, W - 1)].astype(jnp.int32)
     csr = jnp.pad(jnp.cumsum(rs.astype(jnp.int64)), (1, 0))
-    rsum = csr[bounds[1:]] - csr[bounds[:-1]]            # [sentinel]
+    rsum_run = csr[runs_next] - csr[runs_pos]
+    counts = jnp.zeros(sentinel + 1, jnp.int64).at[kvals].add(lens)
+    rsum = jnp.zeros(sentinel + 1, jnp.int64).at[kvals].add(rsum_run)
 
     C = counts[: vmaxp * A1]
     N = counts[vmaxp * A1: vmaxp * A1 + A1]

@@ -81,6 +81,13 @@ class ValueMap:
         return (bool(np.isfinite(self.read_k_host).all())
                 and float(self.read_k_host.max()) < 2**31)
 
+    def int_bins_ok(self) -> bool:
+        """True when every readK this map can emit is a finite integer
+        in i64 range (finite int map, no overflow fallback, peak != 0):
+        the histogram bin fallback can then compile as pure integer
+        rational arithmetic with no emulated-f64 division branch."""
+        return self.peak != 0 and self.never_overflows and self._int_map_ok()
+
     def int_scorer_ok(self) -> bool:
         """True when the fused scorers can run their integer fast path:
         no prob table (prob == 1 everywhere), no overflow fallback, and
