@@ -169,23 +169,22 @@ def two_hist_by_sort(undr_idx, over_idx, is_undr, is_over,
 
 
 def seg_counts_by_sort(seg, valid, missing):
-    """Per-slot (kasm, kmissing) via one composite sort (scatter-free).
+    """Per-slot (kasm, kmissing) via one composite sort + compacted-run
+    scatter (counts_by_sort).
 
     seg: window slot ids (any order — the helper sorts); valid/missing:
     classification masks aligned with seg.  Same sort-vs-scatter trade
-    as two_hist_by_sort: two SEG_MAX+1-bin bincounts cost ~2 scatter
-    passes over the dispatch, one int32 sort costs ~1/10 of that.
+    as two_hist_by_sort: per-window bincounts cost ~10x a sort, and a
+    full-boundary searchsorted costs domain x log(W) gathers.
     """
     import jax.numpy as jnp
 
     S = SEG_MAX + 1
     comp = jnp.where(missing, S + seg,
                      jnp.where(valid, seg, 2 * S))
-    s = jnp.sort(comp.reshape(-1).astype(jnp.uint16))  # 2*S+1 = 2051 values
-    bounds = jnp.searchsorted(s, jnp.arange(2 * S + 1, dtype=jnp.uint16))
-    c = jnp.diff(bounds)
-    kmis_seg = c[S: S + SEG_MAX].astype(jnp.int64)
-    kasm_seg = c[:SEG_MAX].astype(jnp.int64) + kmis_seg
+    c = counts_by_sort(comp.reshape(-1), 2 * S + 1)
+    kmis_seg = c[S: S + SEG_MAX]
+    kasm_seg = c[:SEG_MAX] + kmis_seg
     return kasm_seg, kmis_seg
 
 
