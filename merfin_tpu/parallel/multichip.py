@@ -214,12 +214,12 @@ def make_hist_group_step(
         is_undr = valid & (read_k > 0) & (asm_k > read_k)
         is_over = valid & (read_k > 0) & ~is_undr
 
-        seg_eff = jnp.where(valid, seg, SEG_MAX)
-        kasm_seg = jnp.bincount(seg_eff.reshape(-1),
-                                length=SEG_MAX + 1)[:SEG_MAX]
-        seg_mis = jnp.where(missing, seg, SEG_MAX)
-        kmis_seg = jnp.bincount(seg_mis.reshape(-1),
-                                length=SEG_MAX + 1)[:SEG_MAX]
+        # shared sort-based seg reduction (per-window bincount lowers to
+        # a scatter-add, ~10x a sort on TPU — docs/PERF.md)
+        from merfin_tpu.modes.engine import seg_counts_by_sort
+
+        kasm_seg, kmis_seg = seg_counts_by_sort(
+            seg.astype(jnp.int32), valid, missing)
 
         kc, kn, kr, kover_fb, kfbc = kover_parts(
             read_v, read_k, asm_k, prob, is_undr, kover_vmaxp,
