@@ -117,7 +117,8 @@ def _bench_hist(keys, read_vals, asm_vals, k, n_bases=1 << 25):
     engine = KstarEngine(DeviceLookup(keys, read_vals, k),
                          DeviceLookup(keys, asm_vals, k),
                          k, peak=12.0, chunk=1 << 19, sortjoin=sortjoin,
-                         max_value=int(read_vals.max()), exact_max=True)
+                         max_value=int(read_vals.max()), exact_max=True,
+                         asm_max_value=int(asm_vals.max()))
     rng = np.random.default_rng(3)
     # pipelined dispatches: the rate reflects steady-state throughput
     # with transfer/compute overlap, not one dispatch's tunnel round trip

@@ -488,7 +488,7 @@ def run(cfg: MerfinConfig) -> int:
             sortjoin = jax.default_backend() != "cpu"
         engine = KstarEngine(read_lookup, asm_lookup, k, cfg.peak, prob_table=prob,
                              max_value=_db_max(read_db), sortjoin=sortjoin,
-                             exact_max=True)
+                             exact_max=True, asm_max_value=_db_max(asm_db))
         if engine.sortjoin:
             print("-- Using sorted-join lookup kernel for -hist.", file=log)
         return engine

@@ -219,6 +219,7 @@ class KstarEngine:
         pack_transfer: bool = True,
         exact_max: bool = False,
         sortjoin_union: bool = True,
+        asm_max_value: int | None = None,
     ):
         ensure_x64()
         import jax
@@ -254,6 +255,12 @@ class KstarEngine:
         from merfin_tpu.score.kover import kover_vmaxp
 
         self.kover_vmaxp = kover_vmaxp(prob_table)
+        # trace-time kover fallback bounds: largest possible readK from
+        # the value map and asmK from the DB (doubled for even-k
+        # palindromes, merfin-globals.C:101-110); None = unknown
+        self._kover_rmax = self.value_map.readk_bound()
+        self._kover_amax = (asm_max_value * (2 if k % 2 == 0 else 1)
+                            if asm_max_value is not None else None)
         self.overflow_values = 0
         self.bin_fallbacks = 0
         self.kover_fallbacks = 0
@@ -475,7 +482,8 @@ class KstarEngine:
         kmissing = jnp.sum(missing)
         kc, kn, kr, kover_fb, kfbc = kover_parts(
             read_v, read_k, asm_k, prob, is_undr, self.kover_vmaxp,
-            self.bin_table.amax)
+            self.bin_table.amax, r_max=self._kover_rmax,
+            a_max=self._kover_amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
             read_k, asm_k, bins, int_only=self.value_map.int_bins_ok())
@@ -549,7 +557,8 @@ class KstarEngine:
 
         kc, kn, kr, kover_fb, kfbc = kover_parts(
             read_v, read_k, asm_k, prob, is_undr, self.kover_vmaxp,
-            self.bin_table.amax)
+            self.bin_table.amax, r_max=self._kover_rmax,
+            a_max=self._kover_amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
             read_k, asm_k, bins, int_only=self.value_map.int_bins_ok())

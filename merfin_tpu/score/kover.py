@@ -41,13 +41,20 @@ def kover_vmaxp(prob_table) -> int:
 
 
 def kover_parts(read_v, read_k, asm_k, prob, is_undr, vmaxp: int,
-                amax: int):
+                amax: int, r_max: int | None = None,
+                a_max: int | None = None):
     """Device: integer kover parts + the float fallback sum.
 
     read_v: raw summed DB values (what getK indexed); read_k/asm_k/prob:
     getK outputs; is_undr: the undr classification mask.
     Returns (C [vmaxp*(amax+1)] i64, N [amax+1] i64, R [amax+1] i64,
              fb_sum f64, fb_count i64).
+
+    ``r_max``/``a_max`` are TRACE-TIME bounds (largest possible readK /
+    asmK): when they prove the float fallback unreachable (no prob
+    table, readK < RMAX_PLAIN, asmK <= amax), the per-window emulated-
+    f64 term is not built at all, and a small enough r_max drops the
+    prefix cumsum from emulated i64 to native i32.
     """
     import jax
     import jax.numpy as jnp
@@ -58,17 +65,26 @@ def kover_parts(read_v, read_k, asm_k, prob, is_undr, vmaxp: int,
     a = asm_k.reshape(-1)
     undr = is_undr.reshape(-1)
 
-    a_ok = undr & (a <= amax)
-    if vmaxp:
-        exact_v = a_ok & (v >= 1) & (v <= vmaxp)
+    no_fb = (vmaxp == 0 and r_max is not None and r_max < RMAX_PLAIN
+             and a_max is not None and a_max <= amax)
+    if no_fb:
+        # every undr window is a plain row: prob == 1 (no table),
+        # r < RMAX_PLAIN and a <= amax by the caller's DB bounds
+        exact_v = jnp.zeros_like(undr)
+        plain = undr
+        fb = jnp.zeros_like(undr)
     else:
-        exact_v = jnp.zeros_like(a_ok)
-    plain = a_ok & ~exact_v & (v > vmaxp) & (r < RMAX_PLAIN)
-    # v in (vmaxp, len(table)] still has table prob: only safe when the
-    # caller sized vmaxp == len(table); larger tables route those rows
-    # to the fallback via the prob != 1 test below.
-    plain = plain & (prob.reshape(-1) == 1.0)
-    fb = undr & ~exact_v & ~plain
+        a_ok = undr & (a <= amax)
+        if vmaxp:
+            exact_v = a_ok & (v >= 1) & (v <= vmaxp)
+        else:
+            exact_v = jnp.zeros_like(a_ok)
+        plain = a_ok & ~exact_v & (v > vmaxp) & (r < RMAX_PLAIN)
+        # v in (vmaxp, len(table)] still has table prob: only safe when
+        # the caller sized vmaxp == len(table); larger tables route
+        # those rows to the fallback via the prob != 1 test below.
+        plain = plain & (prob.reshape(-1) == 1.0)
+        fb = undr & ~exact_v & ~plain
 
     a32 = a.astype(jnp.int32)
     sentinel = vmaxp * A1 + A1
@@ -93,8 +109,12 @@ def kover_parts(read_v, read_k, asm_k, prob, is_undr, vmaxp: int,
     runs_next = bp[1: M + 1] if M < W else jnp.append(bp[1:M], np.int32(W))
     lens = (runs_next - runs_pos).astype(jnp.int64)       # pads: 0
     kvals = ks[jnp.minimum(runs_pos, W - 1)].astype(jnp.int32)
-    csr = jnp.pad(jnp.cumsum(rs.astype(jnp.int64)), (1, 0))
-    rsum_run = csr[runs_next] - csr[runs_pos]
+    # native-i32 prefix sum when the trace-time bound proves no overflow
+    # (i64 scans are emulated as i32 pairs on this TPU)
+    cdt = (jnp.int32 if r_max is not None and r_max * W < 2**31
+           else jnp.int64)
+    csr = jnp.pad(jnp.cumsum(rs.astype(cdt)), (1, 0))
+    rsum_run = (csr[runs_next] - csr[runs_pos]).astype(jnp.int64)
     counts = jnp.zeros(sentinel + 1, jnp.int64).at[kvals].add(lens)
     rsum = jnp.zeros(sentinel + 1, jnp.int64).at[kvals].add(rsum_run)
 
@@ -102,6 +122,8 @@ def kover_parts(read_v, read_k, asm_k, prob, is_undr, vmaxp: int,
     N = counts[vmaxp * A1: vmaxp * A1 + A1]
     R = rsum[vmaxp * A1: vmaxp * A1 + A1]
 
+    if no_fb:
+        return C, N, R, jnp.float64(0.0), jnp.int64(0)
     prob_f = prob.reshape(-1)
     safe_a = jnp.where(a > 0, a, 1.0)
     term = (1.0 - r / safe_a) * prob_f

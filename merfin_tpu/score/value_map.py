@@ -81,6 +81,14 @@ class ValueMap:
         return (bool(np.isfinite(self.read_k_host).all())
                 and float(self.read_k_host.max()) < 2**31)
 
+    def readk_bound(self) -> int | None:
+        """Largest readK this map can emit, or None when unbounded
+        (overflow fallback live or non-finite entries).  Trace-time
+        bound for integer-only device paths."""
+        if self.never_overflows and self._int_map_ok():
+            return int(self.read_k_host.max())
+        return None
+
     def int_bins_ok(self) -> bool:
         """True when every readK this map can emit is a finite integer
         in i64 range (finite int map, no overflow fallback, peak != 0):
