@@ -196,7 +196,7 @@ def _bench_completeness(keys, read_vals, asm_vals, k):
     return rate, spread, resident
 
 
-def _bench_count(k=21, genome_bases=1 << 22, coverage=8):
+def _bench_count(k=21, genome_bases=1 << 22, coverage=16, chunk=1 << 23):
     """Device k-mer counting rate (the meryl-count replacement):
     device-RESIDENT accumulation — per-chunk sort+reduce and run
     collapses stay on HBM, only final uniques cross the link.
@@ -218,7 +218,7 @@ def _bench_count(k=21, genome_bases=1 << 22, coverage=8):
 
     def run():
         t0 = time.perf_counter()
-        keys, vals, total = count_sequences(iter(reads), k, chunk=1 << 22)
+        keys, vals, total = count_sequences(iter(reads), k, chunk=chunk)
         dt = time.perf_counter() - t0
         assert total == sum(r.codes().shape[0] - k + 1 for r in reads)
         assert int(vals.sum()) == total

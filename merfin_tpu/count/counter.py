@@ -182,8 +182,14 @@ class _DeviceCountAcc:
             keys = jnp.where(bp < W, sk[jnp.minimum(bp, W - 1)], MAX)
             return keys, bp, nxt
 
+        p4 = (L + 3) // 4
+
         @jax.jit
-        def chunk_count(planes, vbits):
+        def chunk_count(wire):
+            # one fused wire buffer = one device_put per chunk (each
+            # transfer pays a tunnel round trip on this rig)
+            planes = wire[:, :p4]
+            vbits = wire[:, p4:]
             codes = unpack_transfer(planes, vbits, L)[0]
             fmer, rmer, valid = kmer_windows(codes, k)
             canon = jnp.where(valid, jnp.minimum(fmer, rmer), MAX)
@@ -226,8 +232,8 @@ class _DeviceCountAcc:
         from merfin_tpu.kcore.pack import pack_transfer_np
 
         planes, vbits = pack_transfer_np(buf.reshape(1, -1))
-        keys, vals, n_valid = self._chunk_fn(jax.device_put(planes),
-                                             jax.device_put(vbits))
+        wire = np.concatenate([planes, vbits], axis=1)
+        keys, vals, n_valid = self._chunk_fn(jax.device_put(wire))
         self._totals.append(n_valid)
         self._push((keys, vals))
 

@@ -319,7 +319,12 @@ class DeviceScorer(_FusedScorer):
         if self.sortjoin:
             from merfin_tpu.ops.sortjoin import build_sortjoin_union_table
 
-            self.MAX_WINDOWS = 1 << 22
+            # 2^23-window spans halve the per-cluster dispatch count.
+            # The r4 attempt at 2^23 stalled the remote compiler, but
+            # that was the v1 kernel's 128x-padded [g, QB, 1] query
+            # layout; the union-v4 layout is compact and compiles fine
+            # (r5 chip run: heavy 0.734 -> 0.867 clusters/s).
+            self.MAX_WINDOWS = 1 << 23
             # ONE union table (read+asm merged, two value columns): a
             # single v4 probe returns both DB values — half the join
             # passes per span (getK needs both, merfin-globals.C:101-110)
