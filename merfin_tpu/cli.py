@@ -476,7 +476,8 @@ def run(cfg: MerfinConfig) -> int:
 
             return ShardedKstarEngine(
                 mesh, read_sharded, asm_sharded, k, cfg.peak, prob_table=prob,
-                max_value=_db_max(read_db), exact_max=True)
+                max_value=_db_max(read_db), exact_max=True,
+                asm_max_value=_db_max(asm_db))
         import jax
 
         from merfin_tpu.modes.engine import KstarEngine

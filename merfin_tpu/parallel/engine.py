@@ -37,6 +37,7 @@ class ShardedKstarEngine:
         max_value: int | None = None,
         pack_transfer: bool = True,
         exact_max: bool = False,
+        asm_max_value: int | None = None,
     ):
         ensure_x64()
         import jax
@@ -55,6 +56,7 @@ class ShardedKstarEngine:
         self.bin_table = BinTable()
         self.prob_table = prob_table
         self.kover_vmaxp = kover_vmaxp(prob_table)
+        self.asm_max_value = asm_max_value
         self.overflow_values = 0
         self.bin_fallbacks = 0
         self.kover_fallbacks = 0
@@ -68,6 +70,7 @@ class ShardedKstarEngine:
         self.nbins = NBINS
         self._step = make_hist_step(mesh, read_lookup, asm_lookup, k,
                                     self.value_map,
+                                    asm_max_value=asm_max_value,
                                     bin_table=self.bin_table,
                                     pack_chunk=self._pack_chunk,
                                     nbins=self.nbins,
@@ -90,6 +93,7 @@ class ShardedKstarEngine:
         self._step = make_hist_step(self.mesh, self._read_lookup,
                                     self._asm_lookup, self.k,
                                     self.value_map,
+                                    asm_max_value=self.asm_max_value,
                                     bin_table=self.bin_table,
                                     pack_chunk=self._pack_chunk,
                                     nbins=self.nbins,
@@ -164,7 +168,9 @@ class ShardedKstarEngine:
         if self._group_step is None:
             self._group_step = make_hist_group_step(
                 self.mesh, self._read_lookup, self._asm_lookup,
-                self.k, self.value_map, bin_table=self.bin_table,
+                self.k, self.value_map,
+                asm_max_value=self.asm_max_value,
+                bin_table=self.bin_table,
                 pack_chunk=self._pack_chunk, nbins=self.nbins,
                 kover_vmaxp=self.kover_vmaxp)
         if self.pack_transfer:

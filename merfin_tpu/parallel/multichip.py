@@ -37,6 +37,7 @@ def make_hist_step(
     asm_lookup: ShardedLookup,
     k: int,
     value_map,
+    asm_max_value: int | None = None,
     bin_table=None,
     pack_chunk: int | None = None,
     nbins: int = NBINS,
@@ -64,6 +65,9 @@ def make_hist_step(
     from merfin_tpu.score.bin_table import BinTable
 
     bin_table = bin_table or BinTable()
+    # even-k palindromes double the probed values (merfin-globals.C:101-110)
+    a_max_eff = (asm_max_value * (2 if k % 2 == 0 else 1)
+                 if asm_max_value is not None else None)
     data_specs = (P("d", None),) if pack_chunk is None else (
         P("d", None), P("d", None))
 
@@ -104,7 +108,8 @@ def make_hist_step(
         kmissing = jnp.sum(missing)
         kc, kn, kr, kover_fb, kfbc = kover_parts(
             read_v, read_k, asm_k, prob, is_undr, kover_vmaxp,
-            bin_table.amax)
+            bin_table.amax, r_max=value_map.readk_bound(),
+            a_max=a_max_eff)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
             read_k, asm_k, (undr_t, over_t),
@@ -153,6 +158,7 @@ def make_hist_group_step(
     asm_lookup: ShardedLookup,
     k: int,
     value_map,
+    asm_max_value: int | None = None,
     bin_table=None,
     pack_chunk: int | None = None,
     nbins: int = NBINS,
@@ -176,6 +182,8 @@ def make_hist_group_step(
     from merfin_tpu.score.bin_table import BinTable
 
     bin_table = bin_table or BinTable()
+    a_max_eff = (asm_max_value * (2 if k % 2 == 0 else 1)
+                 if asm_max_value is not None else None)
     data_specs = (P("d", None), P("d", None)) if pack_chunk is None else (
         P("d", None), P("d", None), P("d", None), P("d"))
 
@@ -223,7 +231,8 @@ def make_hist_group_step(
 
         kc, kn, kr, kover_fb, kfbc = kover_parts(
             read_v, read_k, asm_k, prob, is_undr, kover_vmaxp,
-            bin_table.amax)
+            bin_table.amax, r_max=value_map.readk_bound(),
+            a_max=a_max_eff)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
             read_k, asm_k, (undr_t, over_t),
