@@ -196,7 +196,7 @@ def _bench_completeness(keys, read_vals, asm_vals, k):
     return rate, spread, resident
 
 
-def _bench_count(k=21, genome_bases=1 << 22, coverage=16, chunk=1 << 23):
+def _bench_count(k=21, genome_bases=1 << 22, coverage=16, chunk=1 << 24):
     """Device k-mer counting rate (the meryl-count replacement):
     device-RESIDENT accumulation — per-chunk sort+reduce and run
     collapses stay on HBM, only final uniques cross the link.
@@ -298,7 +298,7 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
     return n_real / dt
 
 
-def _bench_variants_heavy(k=21, n_clusters=2, n_vars=15, spacing=8):
+def _bench_variants_heavy(k=21, n_clusters=3, n_vars=15, spacing=8):
     """Heavy variant evaluation: clusters of 15 variants (SNPs,
     multiallelic sites, insertions) merged into ONE cluster each
     (spacing < 2k), enumerating 2^11 x 3^4 = 165,888 candidate paths
