@@ -31,14 +31,23 @@ class BinTable:
         with np.errstate(divide="ignore", invalid="ignore"):
             undr = np.trunc((a / r - 1.0 + 0.1) / 0.2)
             over = np.trunc((r / a - 1.0 + 0.1) / 0.2)
-        self.undr_host = np.nan_to_num(undr, nan=0.0, posinf=0.0).astype(np.int32)
-        self.over_host = np.nan_to_num(over, nan=0.0, posinf=0.0).astype(np.int32)
+        # clamp negatives to 0: a (r, a) entry is negative only on the
+        # side that never selects it (undr needs a > r -> value > 0 and
+        # vice versa), so the clamp is unobservable — and it lets the
+        # device planes be u16 (max undr bin ~(amax-1+0.1)/0.2 < 2^16),
+        # halving the per-window gather bandwidth of the bin lookups
+        self.undr_host = np.maximum(
+            np.nan_to_num(undr, nan=0.0, posinf=0.0), 0.0).astype(np.int32)
+        self.over_host = np.maximum(
+            np.nan_to_num(over, nan=0.0, posinf=0.0), 0.0).astype(np.int32)
+        assert int(self.undr_host.max()) <= 0xFFFF
+        assert int(self.over_host.max()) <= 0xFFFF
 
     def device_arrays(self):
         import jax.numpy as jnp
 
-        return (jnp.asarray(self.undr_host.reshape(-1)),
-                jnp.asarray(self.over_host.reshape(-1)))
+        return (jnp.asarray(self.undr_host.reshape(-1).astype(np.uint16)),
+                jnp.asarray(self.over_host.reshape(-1).astype(np.uint16)))
 
     def lookup_jnp(self, read_k, asm_k, arrays=None, int_only: bool = False):
         """(undr_idx, over_idx, in_range) for integer-valued f64 inputs.
@@ -62,8 +71,8 @@ class BinTable:
         )
         rc = jnp.clip(r, 0, self.rmax)
         ac = jnp.clip(a, 0, self.amax)
-        exact_undr = undr_t[rc * (self.amax + 1) + ac]
-        exact_over = over_t[rc * (self.amax + 1) + ac]
+        exact_undr = undr_t[rc * (self.amax + 1) + ac].astype(jnp.int32)
+        exact_over = over_t[rc * (self.amax + 1) + ac].astype(jnp.int32)
 
         # Out-of-range fallback.  For integer-valued pairs the bin is
         # computed in EXACT rational arithmetic:

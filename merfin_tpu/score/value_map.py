@@ -133,7 +133,12 @@ class ValueMap:
         read_k = rk_map[idx]
         if jnp.issubdtype(read_k.dtype, jnp.integer):
             read_k = read_k.astype(jnp.float64)
-        prob = pr_map[idx]
+        if self.has_prob:
+            prob = pr_map[idx]
+        else:
+            # no -prob table: the map is all ones — skip the per-window
+            # f64 gather entirely (trace-time)
+            prob = jnp.ones(read_k.shape, jnp.float64)
         if self.never_overflows:
             # vcap covers 2x the true DB max: the clamp above is pure
             # safety, the emulated-f64 fallback division never runs
