@@ -265,13 +265,42 @@ class _FusedScorer:
         return (P, handles)
 
     def fetch_paths(self, token):
-        """Blocking half: (num_m int64 [P], totdk f64 [P])."""
+        """Blocking half: (num_m int64 [P], totdk f64 [P]).
+
+        Multi-span tokens on the device path fuse every span's padded
+        results into ONE u64 stream on device and fetch it with a
+        single transfer: per-span np.asarray calls each pay a full
+        link round trip (3+ per span on this rig — the r5 heavy
+        profile), a fused fetch pays one."""
         P, handles = token
-        num_m = np.zeros(P, np.int64)
-        totdk = np.zeros(P)
+        resolved = []
         for i, j, h in handles:
             if hasattr(h, "result"):   # threaded span dispatch
                 h = h.result()
+            resolved.append((i, j, h))
+        num_m = np.zeros(P, np.int64)
+        totdk = np.zeros(P)
+        if len(resolved) > 1 and self._THREADED_SPANS:
+            import jax
+            import jax.numpy as jnp
+
+            parts = []
+            for _, _, (Pn, (nm, td, ov)) in resolved:
+                parts += [nm.astype(jnp.uint64),
+                          jax.lax.bitcast_convert_type(
+                              td.astype(jnp.float64), jnp.uint64),
+                          ov.astype(jnp.uint64).reshape(1)]
+            flat = np.asarray(jnp.concatenate(parts))   # ONE fetch
+            off = 0
+            for i, j, (Pn, (nm, td, ov)) in resolved:
+                w = int(nm.shape[0])
+                num_m[i:j] = flat[off: off + Pn].astype(np.int64)
+                td_h = flat[off + w: off + w + Pn].view(np.float64)
+                totdk[i:j] = td_h
+                self.overflow_values += int(flat[off + 2 * w])
+                off += 2 * w + 1
+            return num_m, totdk
+        for i, j, h in resolved:
             nm, td = self._span_fetch(h)
             num_m[i:j] = nm
             totdk[i:j] = td
