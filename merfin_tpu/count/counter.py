@@ -161,8 +161,9 @@ class _DeviceCountAcc:
         # padded entries; R same-cap runs collapse into one compacted run
         self.buckets: dict[int, list] = {}
         # runs whose collapse would exceed max_entries are fetched and
-        # merged on the host instead (keeps HBM bounded on huge inputs)
-        self.max_entries = 1 << 26
+        # merged on the host instead (keeps HBM bounded on huge inputs;
+        # 2^27 entries = ~2 GB of sort operands, comfortable in 16 GB)
+        self.max_entries = 1 << 27
         self._host_keys = np.zeros(0, np.uint64)
         self._host_vals = np.zeros(0, np.uint64)
         self._totals: list = []  # device scalars (summed at drain)
