@@ -196,7 +196,7 @@ def _bench_completeness(keys, read_vals, asm_vals, k):
     return rate, spread, resident
 
 
-def _bench_count(k=21, genome_bases=1 << 22, coverage=16, chunk=1 << 24):
+def _bench_count(k=21, genome_bases=1 << 22, coverage=16, chunk=1 << 23):
     """Device k-mer counting rate (the meryl-count replacement):
     device-RESIDENT accumulation — per-chunk sort+reduce and run
     collapses stay on HBM, only final uniques cross the link.

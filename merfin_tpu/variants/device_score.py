@@ -281,25 +281,27 @@ class _FusedScorer:
         num_m = np.zeros(P, np.int64)
         totdk = np.zeros(P)
         if len(resolved) > 1 and self._THREADED_SPANS:
-            import jax
-            import jax.numpy as jnp
+            try:
+                import jax
+                import jax.numpy as jnp
 
-            parts = []
-            for _, _, (Pn, (nm, td, ov)) in resolved:
-                parts += [nm.astype(jnp.uint64),
-                          jax.lax.bitcast_convert_type(
-                              td.astype(jnp.float64), jnp.uint64),
-                          ov.astype(jnp.uint64).reshape(1)]
-            flat = np.asarray(jnp.concatenate(parts))   # ONE fetch
-            off = 0
-            for i, j, (Pn, (nm, td, ov)) in resolved:
-                w = int(nm.shape[0])
-                num_m[i:j] = flat[off: off + Pn].astype(np.int64)
-                td_h = flat[off + w: off + w + Pn].view(np.float64)
-                totdk[i:j] = td_h
-                self.overflow_values += int(flat[off + 2 * w])
-                off += 2 * w + 1
-            return num_m, totdk
+                parts = []
+                for _, _, (Pn, (nm, td, ov)) in resolved:
+                    parts += [nm.astype(jnp.uint64),
+                              jax.lax.bitcast_convert_type(
+                                  td.astype(jnp.float64), jnp.uint64),
+                              ov.astype(jnp.uint64).reshape(1)]
+                flat = np.asarray(jnp.concatenate(parts))   # ONE fetch
+                off = 0
+                for i, j, (Pn, (nm, td, ov)) in resolved:
+                    w = int(nm.shape[0])
+                    num_m[i:j] = flat[off: off + Pn].astype(np.int64)
+                    totdk[i:j] = flat[off + w: off + w + Pn].view(np.float64)
+                    self.overflow_values += int(flat[off + 2 * w])
+                    off += 2 * w + 1
+                return num_m, totdk
+            except Exception:   # compile/backend hiccup: per-span fetch
+                pass            # (results are still on device, untouched)
         for i, j, h in resolved:
             nm, td = self._span_fetch(h)
             num_m[i:j] = nm
