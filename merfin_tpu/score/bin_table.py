@@ -52,12 +52,10 @@ class BinTable:
     def lookup_jnp(self, read_k, asm_k, arrays=None, int_only: bool = False):
         """(undr_idx, over_idx, in_range) for integer-valued f64 inputs.
 
-        Out-of-range entries return the fallback index and in_range
-        False.  ``int_only`` (trace-time, from ValueMap.int_bins_ok)
-        promises every input is a finite integer: the float fallback
-        branch is then not built at all — XLA evaluates both sides of a
-        where, so merely selecting away the emulated-f64 divisions
-        would still pay for them every window.
+        Out-of-range entries return the f32 fallback index and in_range
+        False.  ``int_only`` is accepted for call-site compatibility
+        (the fallback is f32 on every path now — native-rate and
+        IEEE-f32 deterministic across backends).
         """
         import jax.numpy as jnp
 
@@ -74,35 +72,25 @@ class BinTable:
         exact_undr = undr_t[rc * (self.amax + 1) + ac].astype(jnp.int32)
         exact_over = over_t[rc * (self.amax + 1) + ac].astype(jnp.int32)
 
-        # Out-of-range fallback.  For integer-valued pairs the bin is
-        # computed in EXACT rational arithmetic:
-        #   trunc((a/r - 1 + 0.1)/0.2) == (10a - 9r) div (2r)
-        # (positive whenever the undr/over side selects it, so floor
-        # division == trunc).  This replaces two emulated-f64 divisions
-        # per window (~50 ops each on this TPU's ~48-bit f64) with i64
-        # div — deterministic on every backend, and no further from the
-        # reference than the emulated-f64 expression was: fallback bins
-        # were never IEEE-exact on TPU and remain counted
-        # (bin_fallbacks).  Non-integer-valued inputs (inf readK from
-        # peak=0) keep a float expression.
-        r64 = read_k.astype(jnp.int64)
-        a64 = asm_k.astype(jnp.int64)
-        rs = jnp.maximum(r64, 1)
-        as_ = jnp.maximum(a64, 1)
-        int_undr = ((10 * a64 - 9 * rs) // (2 * rs)).astype(jnp.int32)
-        int_over = ((10 * r64 - 9 * as_) // (2 * as_)).astype(jnp.int32)
-
-        if int_only:
-            fb_undr, fb_over = int_undr, int_over
-        else:
-            int_ok = (read_k == r64.astype(read_k.dtype)) & \
-                (asm_k == a64.astype(asm_k.dtype))
-            safe_r = jnp.where(read_k > 0, read_k, 1.0)
-            safe_a = jnp.where(asm_k > 0, asm_k, 1.0)
-            fb_undr = jnp.where(int_ok, int_undr, jnp.trunc(
-                (asm_k / safe_r - 1.0 + 0.1) / 0.2).astype(jnp.int32))
-            fb_over = jnp.where(int_ok, int_over, jnp.trunc(
-                (read_k / safe_a - 1.0 + 0.1) / 0.2).astype(jnp.int32))
+        # Out-of-range fallback, computed in f32: native-rate divisions
+        # (emulated ~48-bit f64 costs ~50 ops/division on this TPU, and
+        # i64 div lowers to a long sequence too) that are IEEE-f32
+        # DETERMINISTIC on every backend.  Fallback bins were never
+        # IEEE-f64-exact on TPU and remain counted (bin_fallbacks);
+        # boundary-ratio pairs may land one bin away from the
+        # reference's f64 expression — the same caveat the emulated-f64
+        # path carried, now backend-uniform.  Handles inf readK
+        # (peak=0) like the float expression always did.
+        rf = read_k.astype(jnp.float32)
+        af = asm_k.astype(jnp.float32)
+        safe_r = jnp.where(rf > 0, rf, jnp.float32(1.0))
+        safe_a = jnp.where(af > 0, af, jnp.float32(1.0))
+        fb_undr = jnp.trunc(
+            (af / safe_r - jnp.float32(0.9)) / jnp.float32(0.2)
+        ).astype(jnp.int32)
+        fb_over = jnp.trunc(
+            (rf / safe_a - jnp.float32(0.9)) / jnp.float32(0.2)
+        ).astype(jnp.int32)
 
         undr_idx = jnp.where(in_range, exact_undr, fb_undr)
         over_idx = jnp.where(in_range, exact_over, fb_over)
