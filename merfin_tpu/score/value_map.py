@@ -61,19 +61,32 @@ class ValueMap:
         """
         return self.never_overflows and self.peak >= 0.01 and k % 2 == 1
 
-    def device_arrays(self):
-        """(read_k[vcap+1] f64, prob[vcap+1] f64) as jnp arrays.
+    def f32_map_ok(self) -> bool:
+        """True when the readK plane can ship as f32 without loss:
+        every value is a finite integer < 2^24 (f32-exact) and the
+        overflow fallback is compiled away.  Halves the bandwidth of
+        the per-window readK gather; the consumer casts back to f64
+        after the gather, bit-exactly."""
+        return (self.never_overflows
+                and bool(np.isfinite(self.read_k_host).all())
+                and float(self.read_k_host.max()) < 2**24)
 
-        Deliberately the plain f64 pair: an i32-map + skipped-prob
-        variant of the hist program stalled the axon remote compiler
-        for 17+ minutes where this one compiles in ~6.5 (r4 bisect,
-        docs/PERF.md); the integer fast path lives only in the fused
-        scorers (device_arrays_scorer), whose program compiles fine.
+    def device_arrays(self):
+        """(read_k[vcap+1], prob[vcap+1] f64) as jnp arrays; the readK
+        plane is f32 when that is lossless (f32_map_ok), else f64.
+
+        r4 note: an i32-map + skipped-prob variant of the hist program
+        stalled the axon remote compiler for 17+ minutes; the f32 plane
+        (cast back to f64 after the gather) compiles fine (r5 chip
+        validation) and keeps every downstream comparison in f64.
         No caching: this is called both eagerly and under jit traces
         (where the result would be a leaked tracer if cached).
         """
         import jax.numpy as jnp
 
+        if self.f32_map_ok():
+            return (jnp.asarray(self.read_k_host.astype(np.float32)),
+                    jnp.asarray(self.prob_host))
         return jnp.asarray(self.read_k_host), jnp.asarray(self.prob_host)
 
     def _int_map_ok(self) -> bool:
@@ -131,7 +144,9 @@ class ValueMap:
         v = seq_value.astype(jnp.int64)
         idx = jnp.minimum(v, self.vcap)
         read_k = rk_map[idx]
-        if jnp.issubdtype(read_k.dtype, jnp.integer):
+        if read_k.dtype != jnp.float64:
+            # integer or f32 wire plane: widen after the gather
+            # (lossless — f32 planes hold integers < 2^24)
             read_k = read_k.astype(jnp.float64)
         if self.has_prob:
             prob = pr_map[idx]
