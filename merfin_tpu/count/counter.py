@@ -329,14 +329,23 @@ class _DeviceCountAcc:
                 rk, rv = self._fetch_run(*r)
                 keys, vals = _merge_sorted(keys, vals, rk, rv)
         if self._totals:
-            # one stacked device sum -> one scalar fetch (a per-chunk
-            # int() would pay a tunnel round trip per chunk)
-            nt = len(self._totals)
-            fn = self._slice_fns.get(("tot", nt))
+            # fold totals on device in fixed-arity groups (one compiled
+            # 129-operand program regardless of chunk count — an
+            # n_chunks-operand add chain would recompile per run and
+            # grow its signature unboundedly), then ONE scalar fetch
+            jnp = self._jnp
+            CH = 128
+            fn = self._slice_fns.get(("tot", CH))
             if fn is None:
-                fn = self._jax.jit(lambda *ts: sum(ts))
-                self._slice_fns[("tot", nt)] = fn
-            total = int(fn(*self._totals))
+                fn = self._jax.jit(lambda carry, *ts: carry + sum(ts))
+                self._slice_fns[("tot", CH)] = fn
+            zero = jnp.int64(0)
+            carry = zero
+            for i in range(0, len(self._totals), CH):
+                grp = list(self._totals[i: i + CH])
+                grp += [zero] * (CH - len(grp))
+                carry = fn(carry, *grp)
+            total = int(carry)
         else:
             total = 0
         self.buckets, self._totals = {}, []

@@ -486,7 +486,7 @@ class KstarEngine:
             a_max=self._kover_amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
-            read_k, asm_k, bins, int_only=self.value_map.int_bins_ok())
+            read_k, asm_k, bins)
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
 
         max_idx = jnp.maximum(
@@ -561,7 +561,7 @@ class KstarEngine:
             a_max=self._kover_amax)
 
         undr_idx, over_idx, bin_exact = self.bin_table.lookup_jnp(
-            read_k, asm_k, bins, int_only=self.value_map.int_bins_ok())
+            read_k, asm_k, bins)
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
         max_idx = jnp.maximum(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),

@@ -440,27 +440,31 @@ def run_variants(
             pending: list[tuple[int, int, tuple]] = []
             _MAX_INFLIGHT = 8
 
-            i = 0
-            while i < len(prepared):
-                j = i
-                budget = 0
-                batch: list = []
-                while j < len(prepared) and (budget == 0
-                                             or budget < query_budget):
-                    jj, b = next_block()
-                    assert jj == j
-                    paths_list[j] = b
-                    if b is not None:
-                        budget += int(b.nis.sum())
-                    batch.append(b)
-                    j += 1
-                pending.append((i, j, dispatch_blocks(batch, scorer, k)))
-                if len(pending) > _MAX_INFLIGHT:
-                    finish(*pending.pop(0))
-                i = j
-            for p in pending:
-                finish(*p)
-            build_ex.shutdown()
+            try:
+                i = 0
+                while i < len(prepared):
+                    j = i
+                    budget = 0
+                    batch: list = []
+                    while j < len(prepared) and (budget == 0
+                                                 or budget < query_budget):
+                        jj, b = next_block()
+                        assert jj == j
+                        paths_list[j] = b
+                        if b is not None:
+                            budget += int(b.nis.sum())
+                        batch.append(b)
+                        j += 1
+                    pending.append((i, j, dispatch_blocks(batch, scorer, k)))
+                    if len(pending) > _MAX_INFLIGHT:
+                        finish(*pending.pop(0))
+                    i = j
+                for p in pending:
+                    finish(*p)
+            finally:
+                # bound leaked lookahead work if the device/selection
+                # path raises mid-sequence
+                build_ex.shutdown(wait=False, cancel_futures=True)
         else:
             if heavy:
                 async_res = get_pool().map_async(

@@ -43,6 +43,17 @@ def get_lib():
     except OSError:
         return None
 
+    try:
+        _register(lib)
+    except AttributeError:
+        # stale .so (rebuild failed, e.g. no compiler) missing newer
+        # symbols: fall back to pure Python rather than crash callers
+        return None
+    _lib = lib
+    return _lib
+
+
+def _register(lib) -> None:
     lib.mt_parse_seqs.restype = ctypes.c_int64
     lib.mt_parse_seqs.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -105,8 +116,6 @@ def get_lib():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
     ]
-    _lib = lib
-    return _lib
 
 
 class StreamParser:

@@ -112,8 +112,7 @@ def make_hist_step(
             a_max=a_max_eff)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
-            read_k, asm_k, (undr_t, over_t),
-            int_only=value_map.int_bins_ok())
+            read_k, asm_k, (undr_t, over_t))
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
         max_idx = jnp.maximum(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),
@@ -235,8 +234,7 @@ def make_hist_group_step(
             a_max=a_max_eff)
 
         undr_idx, over_idx, bin_exact = bin_table.lookup_jnp(
-            read_k, asm_k, (undr_t, over_t),
-            int_only=value_map.int_bins_ok())
+            read_k, asm_k, (undr_t, over_t))
         fallbacks = jnp.sum((is_undr | is_over) & ~bin_exact)
         max_idx = jnp.maximum(
             jnp.max(jnp.where(is_undr, undr_idx, 0)),

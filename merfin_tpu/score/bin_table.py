@@ -49,13 +49,11 @@ class BinTable:
         return (jnp.asarray(self.undr_host.reshape(-1).astype(np.uint16)),
                 jnp.asarray(self.over_host.reshape(-1).astype(np.uint16)))
 
-    def lookup_jnp(self, read_k, asm_k, arrays=None, int_only: bool = False):
+    def lookup_jnp(self, read_k, asm_k, arrays=None):
         """(undr_idx, over_idx, in_range) for integer-valued f64 inputs.
 
-        Out-of-range entries return the f32 fallback index and in_range
-        False.  ``int_only`` is accepted for call-site compatibility
-        (the fallback is f32 on every path now — native-rate and
-        IEEE-f32 deterministic across backends).
+        Out-of-range entries return the f32 fallback index (native-rate
+        and IEEE-f32 deterministic across backends) and in_range False.
         """
         import jax.numpy as jnp
 

@@ -102,13 +102,6 @@ class ValueMap:
             return int(self.read_k_host.max())
         return None
 
-    def int_bins_ok(self) -> bool:
-        """True when every readK this map can emit is a finite integer
-        in i64 range (finite int map, no overflow fallback, peak != 0):
-        the histogram bin fallback can then compile as pure integer
-        rational arithmetic with no emulated-f64 division branch."""
-        return self.peak != 0 and self.never_overflows and self._int_map_ok()
-
     def int_scorer_ok(self) -> bool:
         """True when the fused scorers can run their integer fast path:
         no prob table (prob == 1 everywhere), no overflow fallback, and

@@ -78,7 +78,7 @@ def main():
             is_undr = valid_s & (read_k > 0) & (asm_k > read_k)
             is_over = valid_s & (read_k > 0) & ~is_undr
             undr_idx, over_idx, bin_exact = eng.bin_table.lookup_jnp(
-                read_k, asm_k, bins, int_only=eng.value_map.int_bins_ok())
+                read_k, asm_k, bins)
             if mode == "math":
                 return (jnp.sum(undr_idx) + jnp.sum(over_idx)
                         + jnp.sum(missing), jnp.sum(is_undr))
