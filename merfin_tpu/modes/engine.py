@@ -126,7 +126,9 @@ def pack_group_transfer(seqs, k: int, chunk: int, rows: int, capacity: int):
 
 def counts_by_sort(comp, domain: int):
     """Value histogram of ``comp`` (ints in [0, domain)) — one sort,
-    run-length compaction, one SMALL scatter.
+    then either run-length compaction + one SMALL scatter (default) or
+    a full-boundary searchsorted (MERFIN_HIST_BOUNDS=search; kept for
+    on-chip A/B — isolated-stage ablations disagreed across sessions).
 
     jnp.bincount over the full stream lowers to a per-window scatter-add
     (~10x a sort on this TPU, docs/PERF.md); a searchsorted over all
@@ -137,9 +139,15 @@ def counts_by_sort(comp, domain: int):
     scatter-add touches ``domain`` elements, not the stream."""
     import jax.numpy as jnp
 
+    import os
+
     W = comp.size
     dt = jnp.uint16 if domain - 1 <= 0xFFFF else jnp.int32
     s = jnp.sort(comp.reshape(-1).astype(dt))
+    if os.environ.get("MERFIN_HIST_BOUNDS") == "search":
+        bounds = jnp.searchsorted(s, jnp.arange(domain, dtype=dt))
+        counts = jnp.diff(jnp.append(bounds, jnp.int64(W))).astype(jnp.int64)
+        return counts
     pos = jnp.arange(W, dtype=jnp.int32)
     b = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
     bp = jnp.sort(jnp.where(b, pos, np.int32(W)))
