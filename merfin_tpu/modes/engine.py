@@ -125,10 +125,11 @@ def pack_group_transfer(seqs, k: int, chunk: int, rows: int, capacity: int):
 
 
 def counts_by_sort(comp, domain: int):
-    """Value histogram of ``comp`` (ints in [0, domain)) — one sort,
-    then either run-length compaction + one SMALL scatter (default) or
-    a full-boundary searchsorted (MERFIN_HIST_BOUNDS=search; kept for
-    on-chip A/B — isolated-stage ablations disagreed across sessions).
+    """Value histogram of ``comp`` (ints in [0, domain)) — one sort +
+    boundary searchsorted (default; r5 same-session e2e A/B: 14.5M vs
+    12.7M bases/s for the run-length-compaction variant, which is kept
+    behind MERFIN_HIST_BOUNDS=runs — isolated-stage ablations had
+    disagreed across sessions, the e2e A/B settled it).
 
     jnp.bincount over the full stream lowers to a per-window scatter-add
     (~10x a sort on this TPU, docs/PERF.md); a searchsorted over all
@@ -144,7 +145,7 @@ def counts_by_sort(comp, domain: int):
     W = comp.size
     dt = jnp.uint16 if domain - 1 <= 0xFFFF else jnp.int32
     s = jnp.sort(comp.reshape(-1).astype(dt))
-    if os.environ.get("MERFIN_HIST_BOUNDS") == "search":
+    if os.environ.get("MERFIN_HIST_BOUNDS") != "runs":
         bounds = jnp.searchsorted(s, jnp.arange(domain, dtype=dt))
         counts = jnp.diff(jnp.append(bounds, jnp.int64(W))).astype(jnp.int64)
         return counts
