@@ -96,19 +96,29 @@ def kover_parts(read_v, read_k, asm_k, prob, is_undr, vmaxp: int,
     kdt = jnp.uint16 if sentinel <= 0xFFFF else jnp.int32
     ks, rs = jax.lax.sort((key.astype(kdt), r32), num_keys=1)
 
-    # counts + per-key r sums via boundary searchsorted (sentinel+1
-    # edges, small) + prefix-sum gathers — the run-length-compaction
-    # variant lost the r5 same-session e2e A/B (engine.counts_by_sort)
+    # counts + per-key r sums via run-length compaction + one SMALL
+    # scatter.  NOTE the asymmetry with engine.counts_by_sort: the hist
+    # composite (32k edges, counts only) measured FASTER with a
+    # boundary searchsorted, while kover (counts AND r-sums) measured
+    # faster compacted — e2e chip A/Bs 14.5 vs 12.7M bases/s flipping
+    # the hist side, and 12.7 vs 14.5 flipping this one back (r5).
     W = ks.shape[0]
-    bounds = jnp.searchsorted(ks, jnp.arange(sentinel + 1, dtype=kdt))
-    bounds = jnp.append(bounds, jnp.int32(W))
-    counts = jnp.diff(bounds).astype(jnp.int64)           # [sentinel+1]
+    pos = jnp.arange(W, dtype=jnp.int32)
+    b = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    bp = jnp.sort(jnp.where(b, pos, np.int32(W)))
+    M = min(sentinel + 1, W)
+    runs_pos = bp[:M]
+    runs_next = bp[1: M + 1] if M < W else jnp.append(bp[1:M], np.int32(W))
+    lens = (runs_next - runs_pos).astype(jnp.int64)       # pads: 0
+    kvals = ks[jnp.minimum(runs_pos, W - 1)].astype(jnp.int32)
     # native-i32 prefix sum when the trace-time bound proves no overflow
     # (i64 scans are emulated as i32 pairs on this TPU)
     cdt = (jnp.int32 if r_max is not None and r_max * W < 2**31
            else jnp.int64)
     csr = jnp.pad(jnp.cumsum(rs.astype(cdt)), (1, 0))
-    rsum = (csr[bounds[1:]] - csr[bounds[:-1]]).astype(jnp.int64)
+    rsum_run = (csr[runs_next] - csr[runs_pos]).astype(jnp.int64)
+    counts = jnp.zeros(sentinel + 1, jnp.int64).at[kvals].add(lens)
+    rsum = jnp.zeros(sentinel + 1, jnp.int64).at[kvals].add(rsum_run)
 
     C = counts[: vmaxp * A1]
     N = counts[vmaxp * A1: vmaxp * A1 + A1]
