@@ -125,3 +125,23 @@ def test_engine_union_matches_two_table_sortjoin(k):
                                                     s2.kover_cpy)
     np.testing.assert_array_equal(u1, u2)
     np.testing.assert_array_equal(o1, o2)
+
+
+def test_union_merge_np_fuzz():
+    """union_merge_np == dict-based union construction on random DBs."""
+    from merfin_tpu.ops.join_kernel4 import union_merge_np
+
+    rng = np.random.default_rng(99)
+    for _ in range(50):
+        na, nb = rng.integers(0, 200, size=2)
+        ka = np.unique(rng.integers(0, 500, size=na).astype(np.uint64))
+        kb = np.unique(rng.integers(0, 500, size=nb).astype(np.uint64))
+        va = rng.integers(1, 1000, size=ka.size).astype(np.uint32)
+        vb = rng.integers(1, 1000, size=kb.size).astype(np.uint32)
+        keys, ua, ub = union_merge_np(ka, va, kb, vb)
+        da = dict(zip(ka.tolist(), va.tolist()))
+        db = dict(zip(kb.tolist(), vb.tolist()))
+        want = sorted(set(da) | set(db))
+        assert keys.tolist() == want
+        assert ua.tolist() == [da.get(k, 0) for k in want]
+        assert ub.tolist() == [db.get(k, 0) for k in want]
