@@ -90,3 +90,35 @@ def test_device_resident_acc_matches_host_with_collapses():
     assert dt == ht
     np.testing.assert_array_equal(dk, hk)
     np.testing.assert_array_equal(dv.astype(np.uint64), hv.astype(np.uint64))
+
+
+def test_device_acc_hbm_overflow_to_host():
+    """When a collapse would exceed max_entries, runs overflow to the
+    host accumulator via the native merge — totals and counts stay
+    exact."""
+    import numpy as np
+
+    from merfin_tpu.count.counter import (_Accumulator, _DeviceCountAcc,
+                                          _count_into, _packed_chunks)
+    from merfin_tpu.io.fasta import CodedSequence
+
+    k = 9
+    chunk = 128
+    rng = np.random.default_rng(21)
+    seqs = [CodedSequence(f"s{i}",
+                          rng.integers(0, 4, size=300).astype(np.uint8))
+            for i in range(12)]
+
+    dacc = _DeviceCountAcc(k, chunk, collapse_runs=2)
+    dacc.max_entries = 256          # every collapse overflows to host
+    for buf in _packed_chunks(iter(seqs), k, chunk):
+        dacc.add_codes(buf)
+    assert dacc._host_keys.size > 0  # the overflow branch actually ran
+    dk, dv, dt = dacc.drain()
+
+    hacc = _Accumulator()
+    _count_into(hacc, iter(seqs), k, chunk=chunk, use_device=False)
+    hk, hv, _ = hacc.result()
+    assert dt == hacc.total
+    np.testing.assert_array_equal(dk, hk)
+    np.testing.assert_array_equal(dv.astype(np.uint64), hv.astype(np.uint64))
