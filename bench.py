@@ -231,7 +231,8 @@ def _bench_count(k=21, genome_bases=1 << 22, coverage=16, chunk=1 << 23):
 
 def _bench_variants(k=21, n_clusters=1500, spacing=120):
     """End-to-end variant evaluation: clusters/s through run_variants
-    (enumeration + batched device lookups + selection, -polish policy)."""
+    (enumeration + fused device scoring + selection, -polish policy —
+    the CLI's production default without a -prob table)."""
     import io
     import random
 
@@ -239,6 +240,7 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
     from merfin_tpu.io.vcf import VcfFile
     from merfin_tpu.modes.variants import run_variants
     from merfin_tpu.table.lookup import DeviceLookup
+    from merfin_tpu.variants.device_score import DeviceScorer
     from merfin_tpu.kcore.pack import kmers_from_codes_np, encode_bases
 
     rng = random.Random(9)
@@ -262,6 +264,8 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
     ak, av = canon_counts(asm, 1)
     read_lookup = DeviceLookup(rk, rv, k)
     asm_lookup = DeviceLookup(ak, av, k)
+    scorer = DeviceScorer(read_lookup, asm_lookup, k, 30.0, None,
+                          max_value=int(rv.max()), exact_max=True)
 
     with tempfile.TemporaryDirectory() as td:
         fasta = os.path.join(td, "asm.fasta")
@@ -282,7 +286,8 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
         run_variants("polish", SeqFile(fasta), wv, k,
                      read_lookup.lookup_np, asm_lookup.lookup_np,
                      peak=30.0, prob_table=None,
-                     out_name=os.path.join(td, "warm"), log=io.StringIO())
+                     out_name=os.path.join(td, "warm"), log=io.StringIO(),
+                     scorer=scorer)
 
         vcf = VcfFile(vcfp, log=io.StringIO())
         vcf.merge_clusters(k, 15, False, log=io.StringIO())
@@ -292,7 +297,7 @@ def _bench_variants(k=21, n_clusters=1500, spacing=120):
                            read_lookup.lookup_np, asm_lookup.lookup_np,
                            peak=30.0, prob_table=None,
                            out_name=os.path.join(td, "out"),
-                           log=io.StringIO())
+                           log=io.StringIO(), scorer=scorer)
         dt = time.perf_counter() - t0
         assert res["records"] == n_clusters, res
     return n_real / dt

@@ -290,9 +290,10 @@ def _usage() -> None:
         "    -mesh DxT        shard the lookup tables over a DxT device mesh (all report types)\n"
         "    -resume          checkpointed restart at the sequence boundary\n"
         "    -sortjoin / -nosortjoin    Pallas sorted-join kernel for -hist (auto on accelerators)\n"
-        "    -devscore / -nodevscore    fused on-device variant scoring (auto: on for\n"
-        "                     -filter/-better/-strict/-loose where it is provably byte-identical;\n"
-        "                     off for -polish/-debug which compare host doubles)\n"
+        "    -devscore / -nodevscore    fused on-device variant scoring (auto: on wherever\n"
+        "                     it is provably byte-identical — all numM-only modes, and -polish\n"
+        "                     without a -prob table via the integer fast path; off for -debug\n"
+        "                     and -polish with -prob, which compare host doubles)\n"
         "  Multi-host: set MERFIN_NUM_PROCESSES, MERFIN_PROCESS_ID and MERFIN_COORDINATOR\n"
         "  (host:port) on every host; sequences/DB slices stripe across processes and\n"
         "  rank 0 writes the merged outputs.\n"
@@ -525,11 +526,17 @@ def run(cfg: MerfinConfig) -> int:
             rlookup, alookup = read_lookup.lookup_np, asm_lookup.lookup_np
         # Fused device scoring: default for the numM-only modes (their
         # selectors are provably byte-identical under it — see
-        # variants/device_score.py docstring); -polish and -debug keep
-        # the host-exact scorer unless -devscore forces the device.
+        # variants/device_score.py docstring).  -polish also defaults
+        # to the device when the INTEGER fast path applies (no -prob
+        # table; ValueMap.int_scorer_ok re-checked below): its totdk
+        # sums are then pure integer arithmetic, EXACTLY equal to the
+        # host scorer's — r5 heavy bench asserts byte-identical VCFs at
+        # an 18-20x device-vs-host rate.  With a -prob table or -debug
+        # the host-exact scorer stays the default.
         use_dev = cfg.devscore
         if use_dev is None:
-            use_dev = cfg.report_type != "polish" and not cfg.debug
+            use_dev = not cfg.debug and (
+                cfg.report_type != "polish" or prob is None)
         elif use_dev and cfg.debug:
             print("ERROR: -debug needs per-window K* stats; it cannot run "
                   "with -devscore.", file=log)
@@ -549,6 +556,13 @@ def run(cfg: MerfinConfig) -> int:
                 scorer = DeviceScorer(read_lookup, asm_lookup, k, cfg.peak,
                                       prob, max_value=_db_max(read_db),
                                       exact_max=True)
+            if (cfg.report_type == "polish" and cfg.devscore is None
+                    and not scorer.value_map.int_scorer_ok()):
+                # auto-selected polish devscore but the integer fast
+                # path doesn't hold (e.g. huge readK): keep host-exact
+                print("-- Device scoring lacks the integer fast path "
+                      "here; using the host scorer for -polish.", file=log)
+                scorer = None
         run_variants(
             cfg.report_type, seq_file, vcf, k,
             rlookup, alookup,
