@@ -16,7 +16,10 @@ extra carries the mode-level numbers the VERDICT asked for:
                                  scalar on device — the tunnel-
                                  independent rate (r4 verdict item 6)
   hist_bases_per_sec             end-to-end -hist engine throughput
-  variant_clusters_per_sec       end-to-end variant evaluation
+  variant_clusters_per_sec       end-to-end variant evaluation (host
+                                 scorer — comparable across rounds)
+  variant_clusters_per_sec_devscore  the CLI's -polish default (fused
+                                 device scoring)
   cpu_lookups_per_sec            the baseline probe rate
 
 Env knobs: BENCH_LOG_TABLE/BENCH_LOG_QUERY (default 23), BENCH_SKIP_MODES=1
